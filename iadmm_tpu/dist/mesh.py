@@ -1,0 +1,69 @@
+"""Device mesh construction and instance-batch sharding.
+
+The reference is strictly single-device (SURVEY.md §2.4: no
+torch.distributed anywhere); QP instances are i.i.d., so **data parallelism
+over the instance batch axis is the whole parallelism story** for this
+workload.  This module provides:
+
+  * ``make_mesh`` — 1D ``('data',)`` mesh over all (or N) devices; optional
+    2D ``('data','model')`` mesh for the tensor-parallel stretch axis;
+  * ``shard_batch`` — place a QPBatch/IterState pytree with the leading
+    instance axis split over ``'data'`` (XLA then keeps every rollout step
+    local and inserts the gradient all-reduce over ICI automatically when
+    the loss mean crosses the sharded axis);
+  * ``replicate`` — parameters/optimizer state replicated on every device;
+  * ``initialize_distributed`` — multi-host bootstrap
+    (``jax.distributed.initialize`` over DCN), a no-op on single host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = 0, model_axis: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices:
+        devs = devs[:num_devices]
+    n = len(devs)
+    if model_axis > 1:
+        assert n % model_axis == 0, (n, model_axis)
+        grid = np.asarray(devs).reshape(n // model_axis, model_axis)
+        return Mesh(grid, ("data", "model"))
+    return Mesh(np.asarray(devs), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (instance-batch) axis over 'data', everything else local."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Shard every leaf's leading axis over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bootstrap over DCN; no-op when single-process."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)

@@ -1,0 +1,211 @@
+"""Synthetic QP family generators.
+
+Reimplements the five distributions of the reference generator
+(reference: generate_data.py:31-228) with NumPy on host, but batched: a whole
+dataset is produced as stacked arrays instead of one gzip pickle per instance.
+
+Conventions preserved from the reference:
+  * the stored ``Q`` is the *half* Hessian; loaders double it
+    (``P = 2*Q`` fed to the oracle, reference: generate_data.py:79 and
+    main.py:298).  ``RawDataset.Q`` here is the half Hessian; use
+    :func:`iadmm_tpu.problems.io.to_qp_batch` to get the doubled solver form.
+  * feasibility trick ``c = sum_cols |G @ pinv(A)|`` for the QP/QP_RHS
+    families (reference: generate_data.py:40, 72).
+  * the SVM family appends slack variables and identity box rows into ``A0``
+    (reference: generate_data.py:186-207).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class RawDataset:
+    """Host-side dataset: per-instance arrays stacked on a leading axis.
+
+    ``Q`` is the HALF Hessian (reference storage convention).  Fields that a
+    family does not define are ``None``.  ``x_opt, y_opt`` are oracle labels
+    (filled by :mod:`iadmm_tpu.problems.oracle`).
+    """
+
+    prob_type: str
+    Q: np.ndarray            # (N, n, n) half Hessian
+    p: np.ndarray            # (N, n)
+    A0: np.ndarray           # (N, m, n)
+    zl: np.ndarray           # (N, m)
+    zu: np.ndarray           # (N, m)
+    G: Optional[np.ndarray] = None   # (N, mi, n)
+    c: Optional[np.ndarray] = None   # (N, mi)
+    A: Optional[np.ndarray] = None   # (N, me, n)
+    b: Optional[np.ndarray] = None   # (N, me)
+    lb: Optional[np.ndarray] = None  # (N, n)
+    ub: Optional[np.ndarray] = None  # (N, n)
+    x_opt: Optional[np.ndarray] = None  # (N, n)
+    y_opt: Optional[np.ndarray] = None  # (N, m)
+
+    @property
+    def size(self) -> int:
+        return self.Q.shape[0]
+
+    def slice(self, idx) -> "RawDataset":
+        def take(a):
+            return None if a is None else a[idx]
+        return RawDataset(
+            prob_type=self.prob_type,
+            Q=self.Q[idx], p=self.p[idx], A0=self.A0[idx],
+            zl=self.zl[idx], zu=self.zu[idx],
+            G=take(self.G), c=take(self.c), A=take(self.A), b=take(self.b),
+            lb=take(self.lb), ub=take(self.ub),
+            x_opt=take(self.x_opt), y_opt=take(self.y_opt),
+        )
+
+
+def _stack_ineq_eq(G, c, A, b):
+    """A0 = [G; A], zl = [-inf; b], zu = [c; b] (reference: generate_data.py:74-76)."""
+    A0 = np.concatenate([G, A], axis=-2)
+    zl = np.concatenate([np.full(c.shape, -np.inf), b], axis=-1)
+    zu = np.concatenate([c, b], axis=-1)
+    return A0, zl, zu
+
+
+def generate_qp(num_var: int, num_ineq: int, num_eq: int, data_size: int,
+                rng: np.random.Generator) -> RawDataset:
+    """``QP`` family: per-instance diagonal Q, Gaussian A/G, feasible c
+    (reference: generate_data.py:63-94)."""
+    n, mi, me, N = num_var, num_ineq, num_eq, data_size
+    Qdiag = 0.5 * rng.random((N, n))
+    Q = np.zeros((N, n, n))
+    Q[:, np.arange(n), np.arange(n)] = Qdiag
+    p = rng.random((N, n))
+    A = rng.normal(0.0, 1.0, (N, me, n))
+    b = 2.0 * rng.random((N, me)) - 1.0
+    G = rng.normal(0.0, 1.0, (N, mi, n))
+    # feasibility trick: c = sum_cols |G @ pinv(A)| guarantees a feasible x.
+    c = np.abs(G @ np.linalg.pinv(A)).sum(axis=-1)
+    A0, zl, zu = _stack_ineq_eq(G, c, A, b)
+    return RawDataset("QP", Q, p, A0, zl, zu, G=G, c=c, A=A, b=b)
+
+
+def generate_qp_rhs(num_var: int, num_ineq: int, num_eq: int, data_size: int,
+                    rng: np.random.Generator) -> RawDataset:
+    """``QP_RHS`` family: one shared (Q, p, A, G); only the equality RHS b
+    varies across instances (reference: generate_data.py:31-61)."""
+    n, mi, me, N = num_var, num_ineq, num_eq, data_size
+    Qdiag = 0.5 * rng.random(n)
+    Q0 = np.diag(Qdiag)
+    p0 = rng.random(n)
+    A_ = rng.normal(0.0, 1.0, (me, n))
+    b = 2.0 * rng.random((N, me)) - 1.0
+    G_ = rng.normal(0.0, 1.0, (mi, n))
+    c_ = np.abs(G_ @ np.linalg.pinv(A_)).sum(axis=-1)
+    Q = np.broadcast_to(Q0, (N, n, n)).copy()
+    p = np.broadcast_to(p0, (N, n)).copy()
+    A = np.broadcast_to(A_, (N, me, n)).copy()
+    G = np.broadcast_to(G_, (N, mi, n)).copy()
+    c = np.broadcast_to(c_, (N, mi)).copy()
+    A0, zl, zu = _stack_ineq_eq(G, c, A, b)
+    return RawDataset("QP_RHS", Q, p, A0, zl, zu, G=G, c=c, A=A, b=b)
+
+
+def generate_random_qp(num_var: int, num_ineq: int, data_size: int,
+                       rng: np.random.Generator,
+                       sparsity: float = 0.6) -> RawDataset:
+    """``Random_QP`` family: sparse PSD Q = (MMᵀ+0.01I)/2... note the
+    reference stores (MMᵀ+0.01I)*0.5 as the half Hessian; two-sided box
+    inequality rows (reference: generate_data.py:96-134).
+
+    The metric view is G=[A0;-A0], c=[zu;-zl] so one-sided violation
+    reporting covers both bounds (reference: generate_data.py:115-116).
+    """
+    n, mi, N = num_var, num_ineq, data_size
+    Q = np.empty((N, n, n))
+    A0 = np.empty((N, mi, n))
+    for i in range(N):
+        M = rng.standard_normal((n, n)) * (rng.random((n, n)) < sparsity)
+        Q[i] = (M @ M.T + 0.01 * np.eye(n)) * 0.5
+        A0[i] = rng.standard_normal((mi, n)) * (rng.random((mi, n)) < sparsity)
+    p = rng.standard_normal((N, n))
+    zl = -rng.random((N, mi))
+    zu = rng.random((N, mi))
+    G = np.concatenate([A0, -A0], axis=-2)
+    c = np.concatenate([zu, -zl], axis=-1)
+    return RawDataset("Random_QP", Q, p, A0, zl, zu, G=G, c=c)
+
+
+def generate_equality_qp(num_var: int, num_eq: int, data_size: int,
+                         rng: np.random.Generator,
+                         sparsity: float = 0.5) -> RawDataset:
+    """``Equality_QP`` family: sparse PSD Q, equality-only rows zl=zu=b
+    (reference: generate_data.py:136-175)."""
+    n, me, N = num_var, num_eq, data_size
+    Q = np.empty((N, n, n))
+    A = np.empty((N, me, n))
+    for i in range(N):
+        M = rng.standard_normal((n, n)) * (rng.random((n, n)) < sparsity)
+        Q[i] = (M @ M.T + 0.01 * np.eye(n)) * 0.5
+        A[i] = rng.standard_normal((me, n)) * (rng.random((me, n)) < sparsity)
+    p = rng.standard_normal((N, n))
+    b = rng.standard_normal((N, me))
+    return RawDataset("Equality_QP", Q, p, A.copy(), b.copy(), b.copy(),
+                      A=A, b=b)
+
+
+def generate_svm(num_var: int, num_ineq: int, data_size: int,
+                 rng: np.random.Generator,
+                 sparsity: float = 0.5) -> RawDataset:
+    """``SVM`` family: soft-margin hinge-loss QP with explicit slack vars.
+
+    Decision vector is [w; t] with n weights and mi slacks; hinge rows
+    G=[diag(b̂)Â, -I] and identity box rows appended into A0
+    (reference: generate_data.py:177-228).
+    """
+    n, mi, N = num_var, num_ineq, data_size
+    ntot = n + mi
+    Q = np.zeros((N, ntot, ntot))
+    Q[:, np.arange(n), np.arange(n)] = 1.0
+    p = np.empty((N, ntot))
+    G = np.empty((N, mi, ntot))
+    half = mi // 2
+    b_hat = np.concatenate([np.ones(half), -np.ones(mi - half)])
+    for i in range(N):
+        lamb = rng.normal(1.0)
+        p[i] = np.concatenate([np.zeros(n), lamb * np.ones(mi)])
+        A_hat = np.concatenate([
+            rng.normal(1.0 / n, 1.0 / n, (half, n)),
+            rng.normal(-1.0 / n, 1.0 / n, (mi - half, n)),
+        ])
+        A_hat = A_hat * (rng.random((mi, n)) < sparsity)
+        G[i] = np.concatenate([b_hat[:, None] * A_hat, -np.eye(mi)], axis=1)
+    c = -np.ones((N, mi))
+    lb = np.concatenate([np.full((N, n), -np.inf), np.zeros((N, mi))], axis=-1)
+    ub = np.full((N, ntot), np.inf)
+    eye = np.broadcast_to(np.eye(ntot), (N, ntot, ntot))
+    A0 = np.concatenate([G, eye], axis=-2)
+    zl = np.concatenate([np.full((N, mi), -np.inf), lb], axis=-1)
+    zu = np.concatenate([c, ub], axis=-1)
+    return RawDataset("SVM", Q, p, A0, zl, zu, G=G, c=c, lb=lb, ub=ub)
+
+
+FAMILIES = ("QP", "QP_RHS", "Random_QP", "Equality_QP", "SVM")
+
+
+def generate(prob_type: str, *, num_var: int, data_size: int,
+             num_ineq: int = 0, num_eq: int = 0,
+             seed: int = 0) -> RawDataset:
+    """Dispatch on problem family name (reference: generate_data.py:31)."""
+    rng = np.random.default_rng(seed)
+    if prob_type == "QP":
+        return generate_qp(num_var, num_ineq, num_eq, data_size, rng)
+    if prob_type == "QP_RHS":
+        return generate_qp_rhs(num_var, num_ineq, num_eq, data_size, rng)
+    if prob_type == "Random_QP":
+        return generate_random_qp(num_var, num_ineq, data_size, rng)
+    if prob_type == "Equality_QP":
+        return generate_equality_qp(num_var, num_eq, data_size, rng)
+    if prob_type == "SVM":
+        return generate_svm(num_var, num_ineq, data_size, rng)
+    raise ValueError(f"unknown prob_type {prob_type!r}; choose from {FAMILIES}")

@@ -1,0 +1,136 @@
+"""Dataset storage and conversion to device pytrees.
+
+Storage is a single compressed ``.npz`` per dataset (all instances stacked),
+replacing the reference's one-gzip-pickle-per-instance layout that forces a
+full disk re-read of the val set every epoch (reference: main.py:384-465).
+A compatibility loader for the reference's per-instance ``.gz`` pickles is
+also provided so reference-generated datasets can be consumed directly.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..types import QPBatch, make_eq_mask
+from .generators import RawDataset
+
+_OPTIONAL = ("G", "c", "A", "b", "lb", "ub", "x_opt", "y_opt")
+
+
+def save_npz(ds: RawDataset, path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {"prob_type": np.asarray(ds.prob_type),
+               "Q": ds.Q, "p": ds.p, "A0": ds.A0, "zl": ds.zl, "zu": ds.zu}
+    for k in _OPTIONAL:
+        v = getattr(ds, k)
+        if v is not None:
+            payload[k] = v
+    np.savez_compressed(path, **payload)
+
+
+def load_npz(path: str) -> RawDataset:
+    with np.load(path, allow_pickle=False) as f:
+        kw = {k: f[k] for k in _OPTIONAL if k in f}
+        return RawDataset(prob_type=str(f["prob_type"]),
+                          Q=f["Q"], p=f["p"], A0=f["A0"],
+                          zl=f["zl"], zu=f["zu"], **kw)
+
+
+def dataset_path(root: str, prob_type: str, num_var: int,
+                 num_ineq: int = 0, num_eq: int = 0) -> str:
+    """Run-keyed dataset naming, mirroring the reference's directory scheme
+    (reference: generate_data.py:32, 64, 97, 137, 178)."""
+    if prob_type in ("QP", "QP_RHS"):
+        name = f"{prob_type}_{num_var}_{num_ineq}_{num_eq}"
+    elif prob_type == "Random_QP":
+        name = f"Random_QP_{num_var}_{num_ineq}"
+    elif prob_type == "Equality_QP":
+        name = f"Equality_QP_{num_var}_{num_eq}"
+    elif prob_type == "SVM":
+        name = f"SVM_{num_var + num_ineq}_{num_ineq}"
+    else:
+        name = prob_type
+    return os.path.join(root, name + ".npz")
+
+
+def load_reference_gz_dir(data_dir: str, prefix: str,
+                          ids: Sequence[int]) -> RawDataset:
+    """Load reference-format per-instance gzip pickles
+    (reference: main.py:200-296).  Sparse families store scipy CSC matrices
+    which are densified on load, exactly as the reference does
+    (reference: main.py:243-245)."""
+    def dense(v):
+        return v.toarray() if hasattr(v, "toarray") else np.asarray(v)
+
+    fields: dict = {k: [] for k in
+                    ("Q", "p", "A0", "zl", "zu", "G", "c", "A", "b",
+                     "lb", "ub", "x", "y")}
+    present = {k: True for k in fields}
+    for i in ids:
+        path = os.path.join(data_dir, f"{prefix}_{i}.gz")
+        with gzip.open(path, "rb") as f:
+            d = pickle.load(f)
+        for k in fields:
+            if k in d:
+                fields[k].append(dense(d[k]))
+            else:
+                present[k] = False
+
+    def stack(k, squeeze=False):
+        if not present[k] or not fields[k]:
+            return None
+        arr = np.stack(fields[k]).astype(np.float64)
+        if squeeze and arr.ndim == 3 and arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        return arr
+
+    return RawDataset(
+        prob_type=prefix,
+        Q=stack("Q"), p=stack("p", True), A0=stack("A0"),
+        zl=stack("zl", True), zu=stack("zu", True),
+        G=stack("G"), c=stack("c", True), A=stack("A"), b=stack("b", True),
+        lb=stack("lb", True), ub=stack("ub", True),
+        x_opt=stack("x", True), y_opt=stack("y", True),
+    )
+
+
+def to_qp_batch(ds: RawDataset, idx=None, dtype=jnp.float32,
+                with_metric_views: bool = True) -> QPBatch:
+    """Device pytree with the doubled Hessian (``Q*2`` load convention,
+    reference: main.py:298) and the zl==zu equality-row mask."""
+    sub = ds if idx is None else ds.slice(idx)
+
+    def arr(v, d=dtype):
+        return None if v is None else jnp.asarray(v, d)
+
+    zl = arr(sub.zl)
+    zu = arr(sub.zu)
+    kw = {}
+    if with_metric_views:
+        kw = dict(G=arr(sub.G), c=arr(sub.c), A=arr(sub.A), b=arr(sub.b),
+                  lb=arr(sub.lb), ub=arr(sub.ub))
+    return QPBatch(
+        Q=arr(sub.Q) * 2.0, p=arr(sub.p), A0=arr(sub.A0),
+        zl=zl, zu=zu, eq_mask=make_eq_mask(zl, zu), **kw)
+
+
+def split_ids(data_size: int, val_frac: float, test_frac: float,
+              seed: int = 17):
+    """Reproduce the reference's shuffled train/val/test id split
+    (reference: main.py:171-183) including the stdlib-random shuffle."""
+    import random as _random
+    train_frac = 1.0 - val_frac - test_frac
+    train_size = int(data_size * train_frac)
+    val_size = int(data_size * val_frac)
+    ids = list(range(data_size))
+    r = _random.Random(seed)
+    r.shuffle(ids)
+    return (np.asarray(ids[:train_size]),
+            np.asarray(ids[train_size:train_size + val_size]),
+            np.asarray(ids[train_size + val_size:]))

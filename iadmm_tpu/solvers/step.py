@@ -1,0 +1,252 @@
+"""One learned inexact-ADMM iteration, TPU-first.
+
+The reference materializes the full ``(n+m)²`` KKT matrix Ã **every step**
+and runs two dense (n+m)² matvecs through it
+(reference: models/lstm.py:67-72).  Here Ã is never formed: the LSTM input
+feature ``g = Ãᵀ(Ã·xv − b̃)`` is computed blockwise from ``Q``/``A0``
+matvecs with the σI and diag(1/ρ) terms fused in.  Per step this reads Q
+once and A0 twice per pass (2 passes) instead of building and streaming an
+(n+m)² matrix — the single biggest data-movement win over the reference
+design (SURVEY.md §3.3).
+
+Block algebra, with ``xv = [u; ν]`` (u ∈ Rⁿ, ν ∈ Rᵐ):
+
+    Ã  = [[Q + σI, A0ᵀ], [A0, -diag(1/ρ)]]          (symmetric)
+    b̃  = [σx − p ; z − y/ρ]
+    r  = Ã·xv − b̃ = [Qu + σu + A0ᵀν − (σx − p);
+                     A0u − ν/ρ − (z − y/ρ)]
+    g  = Ã·r       = [Qr₁ + σr₁ + A0ᵀr₂ ; A0r₁ − r₂/ρ]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import IterState, QPBatch
+from . import cells
+
+RHO_EQ_OVER_RHO_INEQ = 1e3  # reference: models/lstm.py:18
+
+# Matmul precision for the KKT matvecs (numerically sensitive path).
+MATVEC_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def bmv(M: jax.Array, v: jax.Array) -> jax.Array:
+    """Batched matvec: (B,i,j),(B,j)->(B,i)."""
+    return jnp.einsum("bij,bj->bi", M, v, precision=MATVEC_PRECISION)
+
+
+def bmv_t(M: jax.Array, v: jax.Array) -> jax.Array:
+    """Batched transposed matvec: (B,i,j),(B,i)->(B,j)."""
+    return jnp.einsum("bij,bi->bj", M, v, precision=MATVEC_PRECISION)
+
+
+def rho_vector(rho: jax.Array, eq_mask: jax.Array) -> jax.Array:
+    """Per-row penalty: equality rows get 1e3x rho
+    (reference: models/lstm.py:60-62).  rho may be scalar or (B,)."""
+    rho = jnp.asarray(rho)
+    if rho.ndim == 1:
+        rho = rho[:, None]
+    return rho * jnp.where(eq_mask, RHO_EQ_OVER_RHO_INEQ, 1.0)
+
+
+def kkt_rhs(data: QPBatch, x, y, z, sigma, rho_vec):
+    """b̃ = [σx − p ; z − y/ρ] (reference: models/lstm.py:69)."""
+    return sigma * x - data.p, z - y / rho_vec
+
+
+def kkt_matvec(data: QPBatch, u: jax.Array, nu: jax.Array, sigma,
+               rho_vec) -> Tuple[jax.Array, jax.Array]:
+    """(top, bottom) blocks of Ã·[u; ν] without materializing Ã."""
+    top = bmv(data.Q, u) + sigma * u + bmv_t(data.A0, nu)
+    bottom = bmv(data.A0, u) - nu / rho_vec
+    return top, bottom
+
+
+def kkt_residual(data: QPBatch, xv, x, y, z, sigma, rho_vec):
+    """r = Ã·xv − b̃, blockwise."""
+    n = data.num_var
+    u, nu = xv[:, :n], xv[:, n:]
+    t, btm = kkt_matvec(data, u, nu, sigma, rho_vec)
+    b1, b2 = kkt_rhs(data, x, y, z, sigma, rho_vec)
+    return t - b1, btm - b2
+
+
+def kkt_feature(data: QPBatch, xv, x, y, z, sigma, rho_vec) -> jax.Array:
+    """g = Ãᵀ(Ã·xv − b̃); Ã is symmetric so Ãᵀ = Ã (Q symmetric)."""
+    r1, r2 = kkt_residual(data, xv, x, y, z, sigma, rho_vec)
+    g1, g2 = kkt_matvec(data, r1, r2, sigma, rho_vec)
+    return jnp.concatenate([g1, g2], axis=-1)
+
+
+def admm_update(data: QPBatch, xv_new, x, y, z, rho_vec, alpha,
+                relax_z: bool):
+    """OSQP-style x/z/y updates after the (in)exact KKT solve.
+
+    ``relax_z=False`` reproduces the learned step's disabled z-relaxation
+    (reference: models/lstm.py:91-92); ``True`` the exact Stage-II step
+    (reference: models/lu.py:43).
+    """
+    n = data.num_var
+    x_t, v = xv_new[:, :n], xv_new[:, n:]
+    z_t = z + (v - y) / rho_vec
+    x_new = alpha * x_t + (1.0 - alpha) * x
+    z_temp = alpha * z_t + (1.0 - alpha) * z if relax_z else z_t
+    z_new = jnp.maximum(jnp.minimum(z_temp + y / rho_vec, data.zu), data.zl)
+    y_new = y + rho_vec * (z_temp - z_new)
+    return x_new, y_new, z_new
+
+
+# ---------------------------------------------------------------------------
+# Per-variant steps.  Signature: step(params, t, state, data, sigma) -> state
+# ---------------------------------------------------------------------------
+
+def _schedules(params: Dict, t, eq_mask, fixed_alpha: float = 1.6):
+    rho = jax.nn.sigmoid(params["rho"][t]) if "rho" in params else jnp.float32(0.1)
+    rho_vec = rho * jnp.where(eq_mask, RHO_EQ_OVER_RHO_INEQ, 1.0)
+    if "alpha" in params:
+        alpha = 2.0 * jax.nn.sigmoid(params["alpha"][t])
+    else:
+        alpha = jnp.asarray(fixed_alpha, rho_vec.dtype)
+    return rho_vec, alpha
+
+
+def _cell_step(cell_apply: Callable, params, t, state: IterState,
+               data: QPBatch, sigma) -> IterState:
+    rho_vec, alpha = _schedules(params, t, data.eq_mask)
+    g = kkt_feature(data, state.xv, state.x, state.y, state.z, sigma, rho_vec)
+    inputs = jnp.stack([state.xv, g], axis=-1)  # (B, n+m, 2)
+    delta, H, C = cell_apply(params, inputs, state.H, state.C)
+    xv = state.xv - delta
+    x, y, z = admm_update(data, xv, state.x, state.y, state.z,
+                          rho_vec, alpha, relax_z=False)
+    return IterState(x=x, y=y, z=z, xv=xv, H=H, C=C)
+
+
+def lstm_step(params, t, state, data, sigma) -> IterState:
+    """Live-model parity step (reference: models/lstm.py:47-96)."""
+    return _cell_step(cells.lstm_apply, params, t, state, data, sigma)
+
+
+def gru_step(params, t, state, data, sigma) -> IterState:
+    """Ghost GRU variant (models/gru.py)."""
+    return _cell_step(cells.gru_apply, params, t, state, data, sigma)
+
+
+def safeguard_lstm_step(params, t, state, data, sigma) -> IterState:
+    """Ghost no-alpha ablation: learned rho, fixed alpha=1.6
+    (models/safeguard_lstm_no_alpha.py)."""
+    return _cell_step(cells.lstm_apply, params, t, state, data, sigma)
+
+
+def multi_layer_lstm_step(params, t, state, data, sigma,
+                          inner_T: int = 5) -> IterState:
+    """Ghost multi-layer variant: ``inner_T`` shared-weight LSTM refinements
+    of xv per ADMM iteration, fixed schedules (models/muti_layer_lstm.py)."""
+    rho_vec, alpha = _schedules(params, t, data.eq_mask)
+    xv, H, C = state.xv, state.H, state.C
+
+    def inner(carry, _):
+        xv, H, C = carry
+        g = kkt_feature(data, xv, state.x, state.y, state.z, sigma, rho_vec)
+        inputs = jnp.stack([xv, g], axis=-1)
+        delta, H, C = cells.lstm_apply(params, inputs, H, C)
+        return (xv - delta, H, C), None
+
+    (xv, H, C), _ = jax.lax.scan(inner, (xv, H, C), None, length=inner_T)
+    x, y, z = admm_update(data, xv, state.x, state.y, state.z,
+                          rho_vec, alpha, relax_z=False)
+    return IterState(x=x, y=y, z=z, xv=xv, H=H, C=C)
+
+
+def gd_step(params, t, state, data, sigma) -> IterState:
+    """Ghost non-learned baseline: plain gradient step on the KKT residual,
+    xv ← xv − lr·Ãᵀ(Ã·xv − b̃) (models/gradient_descent.py)."""
+    rho_vec, alpha = _schedules(params, t, data.eq_mask)
+    g = kkt_feature(data, state.xv, state.x, state.y, state.z, sigma, rho_vec)
+    lr = params.get("lr", jnp.float32(1e-3))
+    xv = state.xv - lr * g
+    x, y, z = admm_update(data, xv, state.x, state.y, state.z,
+                          rho_vec, alpha, relax_z=False)
+    return IterState(x=x, y=y, z=z, xv=xv, H=state.H, C=state.C)
+
+
+def indirect_lstm_step(params, t, state, data, sigma) -> IterState:
+    """Ghost indirect variant: LSTM over the n variable tokens of the reduced
+    (normal-equation) system  M x̃ = rhs  with
+    M = Q + σI + A0ᵀdiag(ρ)A0, rhs = σx − p + A0ᵀ(ρ∘z − y)
+    (models/indirect_lstm.py; behavioural reconstruction from bytecode).
+    State convention: ``xv[:, :n]`` carries x̃; H/C are sized (B, n+m, h) for
+    harness uniformity but only the first n tokens are used.
+    """
+    n = data.num_var
+    rho_vec, alpha = _schedules(params, t, data.eq_mask)
+    x_t = state.xv[:, :n]
+
+    def matvec_M(v):
+        return (bmv(data.Q, v) + sigma * v
+                + bmv_t(data.A0, rho_vec * bmv(data.A0, v)))
+
+    rhs = sigma * state.x - data.p + bmv_t(data.A0,
+                                           rho_vec * state.z - state.y)
+    r = matvec_M(x_t) - rhs
+    g = matvec_M(r)
+    inputs = jnp.stack([x_t, g], axis=-1)
+    delta, Hn, Cn = cells.lstm_apply(params, inputs,
+                                     state.H[:, :n], state.C[:, :n])
+    x_t = x_t - delta
+    z_t = bmv(data.A0, x_t)
+    x_new = alpha * x_t + (1.0 - alpha) * state.x
+    z_temp = z_t
+    z_new = jnp.maximum(jnp.minimum(z_temp + state.y / rho_vec, data.zu),
+                        data.zl)
+    y_new = state.y + rho_vec * (z_temp - z_new)
+    xv = state.xv.at[:, :n].set(x_t)
+    H = state.H.at[:, :n].set(Hn)
+    C = state.C.at[:, :n].set(Cn)
+    return IterState(x=x_new, y=y_new, z=z_new, xv=xv, H=H, C=C)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverCellSpec:
+    """Registry entry: init + step for one solver-cell variant."""
+    name: str
+    init: Callable
+    step: Callable
+    input_dim: int = 2
+
+
+CELL_REGISTRY: Dict[str, SolverCellSpec] = {
+    "lstm": SolverCellSpec("lstm", cells.lstm_init, lstm_step),
+    "gru": SolverCellSpec("gru", cells.gru_init, gru_step),
+    "safeguard_lstm": SolverCellSpec(
+        "safeguard_lstm", cells.safeguard_lstm_init, safeguard_lstm_step),
+    "multi_layer_lstm": SolverCellSpec(
+        "multi_layer_lstm",
+        lambda key, input_dim, hidden_dim, length, **kw:
+            cells.multi_layer_lstm_init(key, input_dim, hidden_dim,
+                                        kw.get("inner_T", 5)),
+        multi_layer_lstm_step),
+    "gd": SolverCellSpec(
+        "gd",
+        lambda key, input_dim, hidden_dim, length, **kw:
+            {"lr": jnp.float32(kw.get("lr", 1e-3)),
+             "rho": 0.01 * jax.random.normal(key, (length,)),
+             "alpha": 0.01 * jax.random.normal(
+                 jax.random.fold_in(key, 1), (length,))},
+        gd_step),
+    "indirect_lstm": SolverCellSpec(
+        "indirect_lstm", cells.lstm_init, indirect_lstm_step),
+}
+
+
+def get_cell(name: str) -> SolverCellSpec:
+    key = name.lower()
+    if key not in CELL_REGISTRY:
+        raise ValueError(f"unknown solver cell {name!r}; "
+                         f"available: {sorted(CELL_REGISTRY)}")
+    return CELL_REGISTRY[key]

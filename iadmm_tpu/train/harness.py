@@ -1,0 +1,200 @@
+"""Training harness: TBPTT over unrolled ADMM iterations.
+
+Faithful TPU re-design of the reference's training driver
+(reference: main.py:187-547):
+
+  * one **jitted chunk step** runs ``truncated_length`` learned iterations
+    under ``lax.scan``, takes the gradient of the accumulated
+    primal+dual-residual loss, and applies one Adam update — exactly the
+    reference's per-chunk ``backward(); step()`` TBPTT
+    (reference: main.py:336-351);
+  * iterate state crossing the jit boundary between chunks is implicitly
+    detached — the reference's explicit ``.detach()`` dance
+    (reference: main.py:353-358);
+  * parameters updated between chunks feed the next chunk of the SAME
+    rollout, matching the reference's in-rollout optimizer stepping;
+  * validation is a single jitted full-K rollout over the whole val set with
+    unscaled objective/violation metrics (reference: main.py:382-534), with
+    the val set loaded ONCE (the reference re-reads it from disk every
+    epoch, reference: main.py:384-465 — fixed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ExperimentConfig
+from ..problems.generators import RawDataset
+from ..problems.io import to_qp_batch, split_ids
+from ..scaling import scale_batch
+from ..types import IterState, init_state
+from ..solvers.step import get_cell
+from ..solvers.rollouts import chunk_loss, rollout
+from ..evaluation import metrics
+from .early_stopping import EarlyStopping
+from . import checkpoint as ckpt
+
+
+def make_optimizer(lr: float, weight_decay: float = 0.0):
+    """Adam with torch-style L2 weight decay (grad += wd * param before the
+    moment updates), matching ``optim.Adam(..., weight_decay=...)``
+    (reference: main.py:191)."""
+    if weight_decay:
+        return optax.chain(optax.add_decayed_weights(weight_decay),
+                           optax.adam(lr))
+    return optax.adam(lr)
+
+
+def make_train_chunk(step_fn, optimizer, outer_T: int, chunk_len: int,
+                     sigma: float):
+    """Build the jitted TBPTT chunk update."""
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_chunk(params, opt_state, state: IterState, data, t0):
+        def loss_fn(p):
+            return chunk_loss(step_fn, p, state, data, sigma,
+                              chunk_len, outer_T, t0)
+
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_state, loss
+
+    return train_chunk
+
+
+def make_val_fn(step_fn, outer_T: int, sigma: float, hidden_dim: int):
+    """Jitted full-rollout validation: returns (val_obj, violations dict)
+    computed in original space (reference: main.py:503-534)."""
+
+    @jax.jit
+    def val_fn(params, data_scaled, data_orig, d_scaling):
+        B = data_scaled.p.shape[0]
+        st = init_state(B, data_scaled.num_var, data_scaled.num_constr,
+                        hidden_dim, dtype=data_scaled.p.dtype)
+        st = rollout(step_fn, params, st, data_scaled, sigma, outer_T)
+        x = st.x if d_scaling is None else d_scaling * st.x
+        obj = metrics.obj_fn(x, data_orig.Q, data_orig.p).mean()
+        vios = metrics.violation_stats(x, data_orig)
+        return obj, vios
+
+    return val_fn
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Dict
+    history: list
+    best_val_obj: Optional[float]
+    epochs_run: int
+    checkpoint_path: Optional[str]
+
+
+def train(cfg: ExperimentConfig, ds: RawDataset,
+          verbose: bool = True) -> TrainResult:
+    """End-to-end training per the reference protocol (main.py:187-547)."""
+    train_ids, val_ids, _ = split_ids(cfg.data_size, cfg.val_frac,
+                                      cfg.test_frac, cfg.seed)
+    cell = get_cell(cfg.model_name)
+    key = jax.random.PRNGKey(cfg.seed)
+    params = cell.init(key, cfg.input_dim, cfg.hidden_dim, cfg.outer_T,
+                       **({"inner_T": cfg.inner_T}
+                          if cfg.model_name == "multi_layer_lstm" else {}))
+    optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
+    opt_state = optimizer.init(params)
+
+    train_chunk = make_train_chunk(cell.step, optimizer, cfg.outer_T,
+                                   cfg.truncated_length, cfg.sigma)
+    val_fn = make_val_fn(cell.step, cfg.outer_T, cfg.sigma, cfg.hidden_dim)
+    scale_jit = jax.jit(partial(scale_batch, iters=cfg.scaling_ites))
+
+    # Val set: load once, scale once.
+    val_orig = to_qp_batch(ds, val_ids)
+    if cfg.scaling:
+        val_scaled, val_sc = scale_jit(val_orig)
+        val_d = val_sc.d
+    else:
+        val_scaled, val_d = val_orig, None
+
+    ckpt_path = ckpt.checkpoint_path(cfg.save_dir, cfg.model_name,
+                                     cfg.run_name())
+    best: Dict = {}
+
+    def save_best():
+        best["params"] = params
+        ckpt.save_checkpoint(ckpt_path, {
+            "params": params, "opt_state": opt_state,
+            "epoch": best.get("epoch", 0), "config": cfg.to_dict()})
+
+    stopper = EarlyStopping(patience=cfg.patience, save_fn=save_best)
+    n_batches = len(train_ids) // cfg.batch_size
+    n_chunks = cfg.outer_T // cfg.truncated_length
+    history = []
+    epochs_run = 0
+
+    for epoch in range(cfg.num_epoch):
+        t_start = time.time()
+        last_batch = None
+        for bi in range(n_batches):
+            ids = train_ids[bi * cfg.batch_size:(bi + 1) * cfg.batch_size]
+            data_orig = to_qp_batch(ds, ids)
+            if cfg.scaling:
+                data, sc = scale_jit(data_orig)
+                d_vec = sc.d
+            else:
+                data, d_vec = data_orig, None
+            st = init_state(cfg.batch_size, data.num_var, data.num_constr,
+                            cfg.hidden_dim)
+            for ci in range(n_chunks):
+                t0 = jnp.asarray(ci * cfg.truncated_length, jnp.int32)
+                params, opt_state, st, loss = train_chunk(
+                    params, opt_state, st, data, t0)
+            last_batch = (data_orig, st, d_vec, loss)
+        t_train = time.time() - t_start
+
+        # Train metrics on the last batch, unscaled (reference: main.py:362-379).
+        data_orig, st, d_vec, loss = last_batch
+        x = st.x if d_vec is None else d_vec * st.x
+        train_obj = float(metrics.obj_fn(x, data_orig.Q, data_orig.p).mean())
+
+        # Validation.
+        t_v = time.time()
+        val_obj, vios = val_fn(params, val_scaled, val_orig, val_d)
+        val_obj = float(val_obj)
+        t_val = time.time() - t_v
+        vio_maxes = [float(v) for k, v in vios.items() if k.endswith("_max")]
+
+        best["epoch"] = epoch
+        early = stopper.step(val_obj, cfg.early_stop_mode, cfg.eq_tol,
+                             vio_maxes)
+        rec = dict(epoch=epoch, train_obj=train_obj, val_obj=val_obj,
+                   train_loss=float(loss), train_time=t_train,
+                   val_time=t_val,
+                   **{k: float(v) for k, v in vios.items()})
+        history.append(rec)
+        if verbose and epoch % cfg.log_every == 0:
+            vio_str = " | ".join(f"{k}: {float(v):.4f}"
+                                 for k, v in vios.items())
+            print(f"Epoch {epoch} | Train_Obj {train_obj:.3f} | "
+                  f"Val_Obj {val_obj:.3f} | Loss {float(loss):.4f} | "
+                  f"Train_Time {t_train:.2f}s | Val_Time {t_val:.2f}s | "
+                  f"{vio_str}")
+        epochs_run = epoch + 1
+        if early:
+            break
+
+    final_params = best.get("params", params)
+    return TrainResult(params=final_params, history=history,
+                       best_val_obj=stopper.best_loss,
+                       epochs_run=epochs_run,
+                       checkpoint_path=ckpt_path if best.get("params")
+                       is not None else None)

@@ -1,0 +1,81 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from iadmm_tpu.problems import generators, io
+
+
+@pytest.mark.parametrize("family,kw", [
+    ("QP", dict(num_var=20, num_ineq=10, num_eq=10)),
+    ("QP_RHS", dict(num_var=20, num_ineq=10, num_eq=10)),
+    ("Random_QP", dict(num_var=16, num_ineq=24)),
+    ("Equality_QP", dict(num_var=16, num_eq=8)),
+    ("SVM", dict(num_var=12, num_ineq=8)),
+])
+def test_family_shapes_and_masks(family, kw):
+    ds = generators.generate(family, data_size=4, seed=1, **kw)
+    N = 4
+    assert ds.Q.shape[0] == N
+    n = ds.Q.shape[-1]
+    m = ds.A0.shape[-2]
+    assert ds.p.shape == (N, n)
+    assert ds.zl.shape == (N, m) and ds.zu.shape == (N, m)
+    assert np.all(ds.zl <= ds.zu)
+    # Q half-Hessian must be symmetric PSD.
+    sym_err = np.abs(ds.Q - np.swapaxes(ds.Q, -1, -2)).max()
+    assert sym_err < 1e-12
+    eigs = np.linalg.eigvalsh(ds.Q + 1e-9 * np.eye(n))
+    assert eigs.min() > -1e-8
+
+    batch = io.to_qp_batch(ds)
+    # doubled Hessian convention
+    assert np.allclose(np.asarray(batch.Q), ds.Q * 2, rtol=1e-6)
+    # eq_mask equals finite zl == zu rows
+    expect = (ds.zl == ds.zu) & np.isfinite(ds.zl)
+    assert np.array_equal(np.asarray(batch.eq_mask), expect)
+    if family in ("QP", "QP_RHS"):
+        # first mi rows ineq, last me rows eq — reference layout
+        mi, me = kw["num_ineq"], kw["num_eq"]
+        assert not expect[:, :mi].any()
+        assert expect[:, mi:mi + me].all()
+    if family == "Equality_QP":
+        assert expect.all()
+    if family in ("SVM", "Random_QP"):
+        assert not expect.any()
+
+
+def test_qp_rhs_shares_lhs():
+    ds = generators.generate("QP_RHS", num_var=10, num_ineq=5, num_eq=5,
+                             data_size=3, seed=2)
+    assert np.allclose(ds.Q[0], ds.Q[1])
+    assert np.allclose(ds.A0[0], ds.A0[2])
+    assert not np.allclose(ds.b[0], ds.b[1])
+
+
+def test_qp_feasibility_trick():
+    """c = sum_cols |G pinv(A)| guarantees x = pinv(A) b is feasible."""
+    ds = generators.generate("QP", num_var=20, num_ineq=10, num_eq=10,
+                             data_size=2, seed=5)
+    for i in range(2):
+        x_feas = np.linalg.pinv(ds.A[i]) @ ds.b[i]
+        assert np.all(ds.G[i] @ x_feas <= ds.c[i] + 1e-9)
+        assert np.allclose(ds.A[i] @ x_feas, ds.b[i], atol=1e-9)
+
+
+def test_npz_roundtrip(tmp_path, tiny_qp):
+    path = str(tmp_path / "ds.npz")
+    io.save_npz(tiny_qp, path)
+    back = io.load_npz(path)
+    assert back.prob_type == tiny_qp.prob_type
+    assert np.array_equal(back.Q, tiny_qp.Q)
+    assert np.array_equal(back.zl, tiny_qp.zl)
+    assert np.array_equal(back.G, tiny_qp.G)
+
+
+def test_split_ids_reference_shuffle():
+    """Same stdlib shuffle as reference main.py:171-183 with seed 17."""
+    tr, va, te = io.split_ids(100, 0.1, 0.1, seed=17)
+    assert len(tr) == 80 and len(va) == 10 and len(te) == 10
+    assert len(set(tr) | set(va) | set(te)) == 100
+    tr2, _, _ = io.split_ids(100, 0.1, 0.1, seed=17)
+    assert np.array_equal(tr, tr2)
