@@ -1,0 +1,242 @@
+"""Test / inference driver: the reference's ``--test`` branch, TPU-first.
+
+Re-design of reference main.py:549-1268:
+
+  * the whole per-batch evaluation — Ruiz scaling, K learned iterations with
+    per-iteration metrics in ORIGINAL space (the reference's in-loop unscale
+    dance, main.py:875-946), optional Stage-II exact polish — is compiled
+    scans; the host sees stacked trace arrays once per batch instead of
+    syncing every iteration;
+  * "Parallel Time" keeps the reference protocol: (scaling + model-step
+    wall-clock summed over batches) / test_size (main.py:881-890, 1024-1031,
+    1162), measured with a device->host fetch as the completion barrier;
+  * per-iteration report table and ``.mat``/``.npz`` trace export match the
+    reference's outputs (main.py:1117-1161, 1164-1268) so runs can be
+    diffed side by side;
+  * an OSQP-style per-instance baseline (the deleted ghost
+    ``models/osqp.py``, SURVEY.md §2.3; ``test_solver: 'osqp'``,
+    reference: configs/QP.yaml:35) runs the first-party oracle with
+    warm-start support and reports time + iteration counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..problems.generators import RawDataset
+from ..problems.io import to_qp_batch, split_ids
+from ..scaling import scale_batch
+from ..types import init_state
+from ..solvers.step import get_cell, make_lstm_step, _schedules
+from ..solvers import rollouts as R
+from ..solvers import exact as exact_mod
+
+
+def _fetch(x) -> float:
+    """Host fetch as a completion barrier (axon-tunnel safe)."""
+    return float(np.asarray(x).sum())
+
+
+@dataclasses.dataclass
+class TestReport:
+    """Stacked per-iteration traces averaged over test batches, plus
+    timing — everything the reference prints / exports."""
+    obj: np.ndarray          # (T,)
+    ls_res: np.ndarray       # (T,)
+    primal_res: np.ndarray   # (T,)
+    dual_res: np.ndarray     # (T,)
+    violations: Dict[str, np.ndarray]   # each (T,)
+    stage2: Optional["TestReport"]
+    total_time: float
+    parallel_time: float     # total_time / test_size (reference main.py:1162)
+    test_size: int
+    x_final: np.ndarray      # (N, n) final unscaled iterates
+    baseline: Optional[Dict] = None
+
+    def table(self, every: int = 1) -> str:
+        """Per-iteration report table (reference: main.py:1117-1161)."""
+        lines = ["  t |       obj |    ls_res | primal_res |  dual_res | " +
+                 " | ".join(f"{k:>9}" for k in sorted(self.violations))]
+        T = len(self.obj)
+        for t in range(0, T, every):
+            vio = " | ".join(f"{self.violations[k][t]:9.4f}"
+                             for k in sorted(self.violations))
+            lines.append(f"{t:3d} | {self.obj[t]:9.3f} | "
+                         f"{self.ls_res[t]:9.4f} | {self.primal_res[t]:10.4f}"
+                         f" | {self.dual_res[t]:9.4f} | {vio}")
+        return "\n".join(lines)
+
+
+def _trace_to_numpy(trace: R.EvalTrace) -> Dict[str, np.ndarray]:
+    return dict(obj=np.asarray(trace.obj),
+                ls_res=np.asarray(trace.ls_res),
+                primal_res=np.asarray(trace.primal_res),
+                dual_res=np.asarray(trace.dual_res),
+                violations={k: np.asarray(v)
+                            for k, v in trace.violations.items()})
+
+
+def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
+             test_ids: Optional[np.ndarray] = None,
+             verbose: bool = True) -> TestReport:
+    """Batched timed evaluation over the test split."""
+    if test_ids is None:
+        _, _, test_ids = split_ids(cfg.data_size, cfg.val_frac,
+                                   cfg.test_frac, cfg.seed)
+    cell = get_cell(cfg.model_name)
+    step_fn = cell.step
+    if cfg.use_pallas and cfg.model_name == "lstm":
+        step_fn = make_lstm_step(use_pallas=True, gate_dtype=cfg.gate_dtype)
+    sigma = cfg.sigma
+    T = cfg.test_outer_T
+    bs = cfg.test_batch_size
+    n_batches = max(len(test_ids) // bs, 1)
+    test_ids = test_ids[:n_batches * bs]
+
+    scale_jit = jax.jit(partial(scale_batch, iters=cfg.scaling_ites))
+
+    @jax.jit
+    def eval_batch(params, data_scaled, data_orig, scaling):
+        B = data_scaled.p.shape[0]
+        st = init_state(B, data_scaled.num_var, data_scaled.num_constr,
+                        cfg.hidden_dim)
+        st, trace = R.eval_rollout(step_fn, params, st, data_scaled,
+                                   data_orig, scaling, sigma, T)
+        return st, trace
+
+    @jax.jit
+    def eval_batch_noscale(params, data_orig):
+        B = data_orig.p.shape[0]
+        st = init_state(B, data_orig.num_var, data_orig.num_constr,
+                        cfg.hidden_dim)
+        st, trace = R.eval_rollout(step_fn, params, st, data_orig,
+                                   data_orig, None, sigma, T)
+        return st, trace
+
+    @jax.jit
+    def stage2_batch(params, st, data_orig, scaling):
+        # Stage II runs in ORIGINAL space with the last learned rho_vec
+        # (reference: main.py:1017-1064).
+        rho_vec, _ = _schedules(params, T - 1, data_orig.eq_mask)
+        if scaling is not None:
+            st = R.unscale_state(st, scaling)
+        return R.eval_stage2(st, data_orig, data_orig, None, sigma,
+                             rho_vec, cfg.feas_rest_num)
+
+    traces: List[Dict] = []
+    s2_traces: List[Dict] = []
+    xs: List[np.ndarray] = []
+    total_time = 0.0
+    for bi in range(n_batches):
+        ids = test_ids[bi * bs:(bi + 1) * bs]
+        data_orig = to_qp_batch(ds, ids)
+        _fetch(data_orig.p)  # exclude H2D from the timed region
+        t0 = time.perf_counter()
+        if cfg.scaling:
+            data_scaled, sc = scale_jit(data_orig)
+            st, trace = eval_batch(params, data_scaled, data_orig, sc)
+        else:
+            sc = None
+            st, trace = eval_batch_noscale(params, data_orig)
+        _fetch(st.x)
+        total_time += time.perf_counter() - t0
+        traces.append(_trace_to_numpy(trace))
+        if cfg.feas_rest:
+            st2, tr2 = stage2_batch(params, st, data_orig, sc)
+            s2_traces.append(_trace_to_numpy(tr2))
+            xs.append(np.asarray(st2.x))
+        else:
+            x = st.x if sc is None else sc.unscale_x(st.x)
+            xs.append(np.asarray(x))
+
+    def avg(stack: List[Dict]) -> Dict:
+        out = {k: np.mean([t[k] for t in stack], axis=0)
+               for k in ("obj", "ls_res", "primal_res", "dual_res")}
+        vio_keys = stack[0]["violations"].keys()
+        out["violations"] = {k: np.mean([t["violations"][k] for t in stack],
+                                        axis=0) for k in vio_keys}
+        return out
+
+    a = avg(traces)
+    stage2 = None
+    if s2_traces:
+        a2 = avg(s2_traces)
+        stage2 = TestReport(**a2, stage2=None, total_time=0.0,
+                            parallel_time=0.0, test_size=len(test_ids),
+                            x_final=np.concatenate(xs))
+    report = TestReport(**a, stage2=stage2, total_time=total_time,
+                        parallel_time=total_time / len(test_ids),
+                        test_size=len(test_ids),
+                        x_final=np.concatenate(xs))
+    if verbose:
+        print(report.table(every=max(T // 20, 1)))
+        print(f"Total Time {total_time:.4f}s | "
+              f"Parallel Time {report.parallel_time:.6f}s/instance | "
+              f"test size {len(test_ids)}")
+        if stage2 is not None:
+            print("--- Stage II (feasibility restoration) ---")
+            print(stage2.table())
+    return report
+
+
+def export_traces(report: TestReport, path: str) -> None:
+    """Save full traces; ``.mat`` for reference-diffing
+    (reference: main.py:1164-1268), anything else as ``.npz``."""
+    flat = dict(time=report.parallel_time, total_time=report.total_time,
+                x=report.x_final, objs=report.obj, ls_res=report.ls_res,
+                primal_res=report.primal_res, dual_res=report.dual_res)
+    for k, v in report.violations.items():
+        flat[f"vio_{k}"] = v
+    if report.stage2 is not None:
+        for k in ("obj", "ls_res", "primal_res", "dual_res"):
+            flat[f"stage2_{k}"] = getattr(report.stage2, k)
+    if path.endswith(".mat"):
+        import scipy.io
+        scipy.io.savemat(path, flat)
+    else:
+        np.savez(path, **flat)
+
+
+def run_osqp_baseline(cfg: ExperimentConfig, ds: RawDataset,
+                      test_ids: Optional[np.ndarray] = None,
+                      warm_start: bool = True, eps: float = 1e-4,
+                      verbose: bool = True) -> Dict:
+    """Per-instance classical-solver baseline (ghost models/osqp.py parity):
+    solve each test instance with the OSQP-algorithm oracle, sequentially,
+    reporting mean solve time and iteration count.  ``warm_start`` reuses the
+    previous instance's (x, y) as the next start."""
+    from ..problems import oracle
+    if test_ids is None:
+        _, _, test_ids = split_ids(cfg.data_size, cfg.val_frac,
+                                   cfg.test_frac, cfg.seed)
+    times, iters, objs, solved = [], [], [], 0
+    x0 = y0 = None
+    for i in test_ids:
+        P = ds.Q[i] * 2.0
+        t0 = time.perf_counter()
+        r = oracle.solve_qp(P, ds.p[i], ds.A0[i], ds.zl[i], ds.zu[i],
+                            eps_abs=eps, eps_rel=eps,
+                            x0=x0 if warm_start else None,
+                            y0=y0 if warm_start else None)
+        times.append(time.perf_counter() - t0)
+        iters.append(r.iters)
+        solved += int(r.solved)
+        objs.append(0.5 * r.x @ P @ r.x + ds.p[i] @ r.x)
+        if warm_start:
+            x0, y0 = r.x, r.y
+    out = dict(mean_time=float(np.mean(times)), mean_iters=float(np.mean(iters)),
+               solved=solved, total=len(test_ids), mean_obj=float(np.mean(objs)))
+    if verbose:
+        print(f"OSQP-baseline: {solved}/{len(test_ids)} solved | "
+              f"mean {out['mean_iters']:.1f} iters | "
+              f"mean {out['mean_time'] * 1e3:.2f} ms/instance | "
+              f"mean obj {out['mean_obj']:.4f}")
+    return out

@@ -42,7 +42,9 @@ def solve_qp(P: np.ndarray, q: np.ndarray, A: np.ndarray,
              eps_abs: float = 1e-4, eps_rel: float = 1e-4,
              max_iter: int = 20000, sigma: float = 1e-6,
              alpha: float = 1.6, rho0: float = 0.1,
-             adaptive_rho_tol: float = 5.0) -> OracleResult:
+             adaptive_rho_tol: float = 5.0,
+             x0: Optional[np.ndarray] = None,
+             y0: Optional[np.ndarray] = None) -> OracleResult:
     """Solve ``min 0.5 xᵀPx + qᵀx s.t. zl <= Ax <= zu`` to OSQP tolerances.
 
     ``P`` is the full (doubled) Hessian, i.e. what the reference passes to
@@ -80,9 +82,11 @@ def solve_qp(P: np.ndarray, q: np.ndarray, A: np.ndarray,
 
     lu = factor(rho_vec)
 
-    x = np.zeros(n)
-    y = np.zeros(m)
-    z = np.zeros(m)
+    # Optional warm start (the ghost models/osqp.py baseline warm-started
+    # consecutive instances, SURVEY.md §2.3).
+    x = np.zeros(n) if x0 is None else np.asarray(x0, np.float64).copy()
+    y = np.zeros(m) if y0 is None else np.asarray(y0, np.float64).copy()
+    z = A @ x if x0 is not None else np.zeros(m)
     pri = dua = np.inf
     it = 0
     for it in range(1, max_iter + 1):

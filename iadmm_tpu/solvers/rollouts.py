@@ -53,6 +53,7 @@ def chunk_loss(step_fn: StepFn, params, state: IterState, data: QPBatch,
     return losses.sum() / outer_T, final
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class EvalTrace:
     """Per-iteration test-time traces, all shaped (T,) after the scan —

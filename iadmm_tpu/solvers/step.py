@@ -211,6 +211,24 @@ def indirect_lstm_step(params, t, state, data, sigma) -> IterState:
     return IterState(x=x_new, y=y_new, z=z_new, xv=xv, H=H, C=C)
 
 
+def make_lstm_step(use_pallas: bool = False, gate_dtype: str = "float32"):
+    """LSTM step factory selecting the cell backend.
+
+    ``use_pallas`` routes the token cell through the fused Pallas kernel
+    (:mod:`iadmm_tpu.kernels.lstm_cell`); ``gate_dtype='bfloat16'`` runs the
+    gate matmuls in bf16 on the MXU with f32 accumulation (TPU fast path).
+    """
+    if not use_pallas:
+        return lstm_step
+    from ..kernels.lstm_cell import make_pallas_lstm_apply
+    apply = make_pallas_lstm_apply(gate_dtype)
+
+    def step(params, t, state, data, sigma):
+        return _cell_step(apply, params, t, state, data, sigma)
+
+    return step
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverCellSpec:
     """Registry entry: init + step for one solver-cell variant."""
