@@ -90,7 +90,8 @@ def reference_style_step(params, t, state, data, sigma):
     return IterState(x=x, y=y, z=z, xv=xv, H=H, C=C)
 
 
-def bench_rollout(step_fn, params, data, hidden, K, reps, label):
+def bench_rollout(step_fn, params, data, hidden, K, reps, label,
+                  hc_dtype=None):
     from iadmm_tpu.types import init_state
 
     # NOTE: the timed quantity is a scalar reduction of the final state and
@@ -105,7 +106,8 @@ def bench_rollout(step_fn, params, data, hidden, K, reps, label):
         return final.x.sum()
 
     B = data.p.shape[0]
-    state = init_state(B, data.num_var, data.num_constr, hidden)
+    state = init_state(B, data.num_var, data.num_constr, hidden,
+                       hc_dtype=hc_dtype)
     t0 = time.perf_counter()
     s = float(roll(params, state, data))
     log(f"{label}: compile+first run {time.perf_counter() - t0:.1f}s "
@@ -135,7 +137,8 @@ def main():
     log(f"fused impl: {impl}")
 
     fused = bench_rollout(step_fn, params, data, h, K, reps=4,
-                          label=f"fused[{impl}]")
+                          label=f"fused[{impl}]",
+                          hc_dtype=jnp.bfloat16 if "pallas" in impl else None)
     base = bench_rollout(reference_style_step, params, data, h, K, reps=2,
                          label="reference-style")
 

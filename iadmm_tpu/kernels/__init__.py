@@ -1,1 +1,5 @@
-# Pallas kernels are registered here as they land.
+from .lstm_cell import (fused_lstm_cell, make_pallas_lstm_apply, TOKEN_TILE)
+from . import sparse
+
+__all__ = ["fused_lstm_cell", "make_pallas_lstm_apply", "TOKEN_TILE",
+           "sparse"]

@@ -36,7 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..solvers import cells
 
-TOKEN_TILE = 256
+# Tokens per grid step.  VMEM use ≈ U (resident) + double-buffered H/C
+# tiles + the 4h-wide f32 gate scratch; the compiler VMEM limit is raised
+# accordingly in _pallas_forward.
+TOKEN_TILE = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -60,27 +63,41 @@ def _cell_kernel(x_ref, h_ref, c_ref, w_ref, u_ref, b_ref, wh_ref, bh_ref,
                                    preferred_element_type=jnp.float32)
 
     gates = mm(x, w_ref[:]) + mm(H, u_ref[:]) + b_ref[:]
-    # (TS, 4h) f32, never leaves VMEM
+    # (TS, 4h) f32, never leaves VMEM.
+    # Manual exp-based sigmoid/tanh: numerically equivalent in f32 (inf
+    # saturates correctly) but avoids a Mosaic pathologic-compile-time path
+    # for jax.nn.sigmoid/jnp.tanh at these tile shapes (minutes -> seconds).
     h = hidden
-    i_t = jax.nn.sigmoid(gates[:, 0 * h:1 * h])
-    f_t = jax.nn.sigmoid(gates[:, 1 * h:2 * h])
-    o_t = jax.nn.sigmoid(gates[:, 2 * h:3 * h])
-    u_t = jnp.tanh(gates[:, 3 * h:4 * h])
+
+    def sig(v):
+        return 1.0 / (1.0 + jnp.exp(-v))
+
+    def tanh(v):
+        return 2.0 / (1.0 + jnp.exp(-2.0 * v)) - 1.0
+
+    i_t = sig(gates[:, 0 * h:1 * h])
+    f_t = sig(gates[:, 1 * h:2 * h])
+    o_t = sig(gates[:, 2 * h:3 * h])
+    u_t = tanh(gates[:, 3 * h:4 * h])
     C_new = i_t * u_t + f_t * C
-    H_new = o_t * jnp.tanh(C_new)
+    H_new = o_t * tanh(C_new)
     delta = mm(H_new, wh_ref[:]) + bh_ref[:]
     delta_ref[0] = delta        # (TS, 1)
-    h_out_ref[0] = H_new
-    c_out_ref[0] = C_new
+    # H/C carries mirror the input state dtype (bf16 carry halves the
+    # dominant HBM traffic of the rollout; compute stays f32 above).
+    h_out_ref[0] = H_new.astype(h_out_ref.dtype)
+    c_out_ref[0] = C_new.astype(c_out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("gate_dtype_name",))
+@functools.partial(jax.jit, static_argnames=("gate_dtype_name",
+                                             "token_tile"))
 def _pallas_forward(W, U, b, W_h, b_h, inputs, H, C,
-                    gate_dtype_name: str = "float32"):
+                    gate_dtype_name: str = "float32",
+                    token_tile: int = 0):
     gate_dtype = jnp.dtype(gate_dtype_name)
     B, S, in_dim = inputs.shape
     hidden = H.shape[-1]
-    TS = TOKEN_TILE
+    TS = token_tile or TOKEN_TILE
     S_pad = _round_up(S, TS)
     if S_pad != S:
         pad = [(0, 0), (0, S_pad - S), (0, 0)]
@@ -119,12 +136,14 @@ def _pallas_forward(W, U, b, W_h, b_h, inputs, H, C,
         out_specs=[tile3(1), tile3(hidden), tile3(hidden)],
         out_shape=[
             jax.ShapeDtypeStruct((B, S_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, S_pad, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((B, S_pad, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((B, S_pad, hidden), H.dtype),
+            jax.ShapeDtypeStruct((B, S_pad, hidden), C.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=4 * B * S_pad * (3 * hidden + in_dim),
             transcendentals=4 * B * S_pad * hidden),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(inputs, H, C, W, U, b2, W_h, bh2)
 
     delta = delta[:, :S, 0]

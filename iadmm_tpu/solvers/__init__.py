@@ -22,8 +22,9 @@ def best_lstm_step(gate_dtype: str = "bfloat16"):
         out = fused_lstm_cell(p, jnp.zeros((1, 8, 2)), jnp.zeros((1, 8, 8)),
                               jnp.zeros((1, 8, 8)), gate_dtype)
         jax.block_until_ready(out)
-        return make_lstm_step(use_pallas=True,
-                              gate_dtype=gate_dtype), f"pallas-{gate_dtype}"
+        mv = "bf16" if gate_dtype == "bfloat16" else None
+        return make_lstm_step(use_pallas=True, gate_dtype=gate_dtype,
+                              matvec_mode=mv), f"pallas-{gate_dtype}"
     except Exception:  # pragma: no cover - non-TPU backends
         return lstm_step, "xla-float32"
 

@@ -35,14 +35,33 @@ RHO_EQ_OVER_RHO_INEQ = 1e3  # reference: models/lstm.py:18
 MATVEC_PRECISION = jax.lax.Precision.HIGHEST
 
 
-def bmv(M: jax.Array, v: jax.Array) -> jax.Array:
-    """Batched matvec: (B,i,j),(B,j)->(B,i)."""
-    return jnp.einsum("bij,bj->bi", M, v, precision=MATVEC_PRECISION)
+def _matvec_cast(M, v, mode: Optional[str]):
+    """Returns (M, v, precision, preferred_element_type) for the mode."""
+    if mode == "bf16":
+        return (M.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                jax.lax.Precision.DEFAULT, jnp.float32)
+    if mode == "default":
+        return M, v, jax.lax.Precision.DEFAULT, None
+    return M, v, MATVEC_PRECISION, None
 
 
-def bmv_t(M: jax.Array, v: jax.Array) -> jax.Array:
+def bmv(M: jax.Array, v: jax.Array, mode: Optional[str] = None) -> jax.Array:
+    """Batched matvec: (B,i,j),(B,j)->(B,i).
+
+    ``mode``: None/'highest' = native-dtype HIGHEST (torch-parity numerics),
+    'default' = one-pass TPU f32, 'bf16' = bf16 operands + f32 accumulate
+    (fast inference profile — halves HBM traffic of the KKT matvecs).
+    """
+    M, v, prec, pet = _matvec_cast(M, v, mode)
+    return jnp.einsum("bij,bj->bi", M, v, precision=prec,
+                      preferred_element_type=pet)
+
+
+def bmv_t(M: jax.Array, v: jax.Array, mode: Optional[str] = None) -> jax.Array:
     """Batched transposed matvec: (B,i,j),(B,i)->(B,j)."""
-    return jnp.einsum("bij,bi->bj", M, v, precision=MATVEC_PRECISION)
+    M, v, prec, pet = _matvec_cast(M, v, mode)
+    return jnp.einsum("bij,bi->bj", M, v, precision=prec,
+                      preferred_element_type=pet)
 
 
 def rho_vector(rho: jax.Array, eq_mask: jax.Array) -> jax.Array:
@@ -60,26 +79,29 @@ def kkt_rhs(data: QPBatch, x, y, z, sigma, rho_vec):
 
 
 def kkt_matvec(data: QPBatch, u: jax.Array, nu: jax.Array, sigma,
-               rho_vec) -> Tuple[jax.Array, jax.Array]:
+               rho_vec, mode: Optional[str] = None
+               ) -> Tuple[jax.Array, jax.Array]:
     """(top, bottom) blocks of Ã·[u; ν] without materializing Ã."""
-    top = bmv(data.Q, u) + sigma * u + bmv_t(data.A0, nu)
-    bottom = bmv(data.A0, u) - nu / rho_vec
+    top = bmv(data.Q, u, mode) + sigma * u + bmv_t(data.A0, nu, mode)
+    bottom = bmv(data.A0, u, mode) - nu / rho_vec
     return top, bottom
 
 
-def kkt_residual(data: QPBatch, xv, x, y, z, sigma, rho_vec):
+def kkt_residual(data: QPBatch, xv, x, y, z, sigma, rho_vec,
+                 mode: Optional[str] = None):
     """r = Ã·xv − b̃, blockwise."""
     n = data.num_var
     u, nu = xv[:, :n], xv[:, n:]
-    t, btm = kkt_matvec(data, u, nu, sigma, rho_vec)
+    t, btm = kkt_matvec(data, u, nu, sigma, rho_vec, mode)
     b1, b2 = kkt_rhs(data, x, y, z, sigma, rho_vec)
     return t - b1, btm - b2
 
 
-def kkt_feature(data: QPBatch, xv, x, y, z, sigma, rho_vec) -> jax.Array:
+def kkt_feature(data: QPBatch, xv, x, y, z, sigma, rho_vec,
+                mode: Optional[str] = None) -> jax.Array:
     """g = Ãᵀ(Ã·xv − b̃); Ã is symmetric so Ãᵀ = Ã (Q symmetric)."""
-    r1, r2 = kkt_residual(data, xv, x, y, z, sigma, rho_vec)
-    g1, g2 = kkt_matvec(data, r1, r2, sigma, rho_vec)
+    r1, r2 = kkt_residual(data, xv, x, y, z, sigma, rho_vec, mode)
+    g1, g2 = kkt_matvec(data, r1, r2, sigma, rho_vec, mode)
     return jnp.concatenate([g1, g2], axis=-1)
 
 
@@ -116,9 +138,11 @@ def _schedules(params: Dict, t, eq_mask, fixed_alpha: float = 1.6):
 
 
 def _cell_step(cell_apply: Callable, params, t, state: IterState,
-               data: QPBatch, sigma) -> IterState:
+               data: QPBatch, sigma,
+               matvec_mode: Optional[str] = None) -> IterState:
     rho_vec, alpha = _schedules(params, t, data.eq_mask)
-    g = kkt_feature(data, state.xv, state.x, state.y, state.z, sigma, rho_vec)
+    g = kkt_feature(data, state.xv, state.x, state.y, state.z, sigma,
+                    rho_vec, matvec_mode)
     inputs = jnp.stack([state.xv, g], axis=-1)  # (B, n+m, 2)
     delta, H, C = cell_apply(params, inputs, state.H, state.C)
     xv = state.xv - delta
@@ -211,20 +235,26 @@ def indirect_lstm_step(params, t, state, data, sigma) -> IterState:
     return IterState(x=x_new, y=y_new, z=z_new, xv=xv, H=H, C=C)
 
 
-def make_lstm_step(use_pallas: bool = False, gate_dtype: str = "float32"):
-    """LSTM step factory selecting the cell backend.
+def make_lstm_step(use_pallas: bool = False, gate_dtype: str = "float32",
+                   matvec_mode: Optional[str] = None):
+    """LSTM step factory selecting the cell backend and precision profile.
 
     ``use_pallas`` routes the token cell through the fused Pallas kernel
     (:mod:`iadmm_tpu.kernels.lstm_cell`); ``gate_dtype='bfloat16'`` runs the
-    gate matmuls in bf16 on the MXU with f32 accumulation (TPU fast path).
+    gate matmuls in bf16 on the MXU with f32 accumulation (TPU fast path);
+    ``matvec_mode`` sets the KKT-feature matvec precision (see :func:`bmv`).
     """
-    if not use_pallas:
+    if not use_pallas and matvec_mode is None:
         return lstm_step
-    from ..kernels.lstm_cell import make_pallas_lstm_apply
-    apply = make_pallas_lstm_apply(gate_dtype)
+    if use_pallas:
+        from ..kernels.lstm_cell import make_pallas_lstm_apply
+        apply = make_pallas_lstm_apply(gate_dtype)
+    else:
+        apply = cells.lstm_apply
 
     def step(params, t, state, data, sigma):
-        return _cell_step(apply, params, t, state, data, sigma)
+        return _cell_step(apply, params, t, state, data, sigma,
+                          matvec_mode=matvec_mode)
 
     return step
 
