@@ -66,8 +66,10 @@ class ExperimentConfig:
 
     # --- TPU-native additions (no reference counterpart) ---
     num_devices: int = 0            # 0 = all visible devices (data-parallel)
-    use_pallas: bool = False        # fused Pallas KKT-feature kernel
+    use_pallas: bool = False        # fused Pallas LSTM-cell kernel
     gate_dtype: str = "float32"     # 'bfloat16' enables bf16 gate matmuls
+    matvec_mode: str = "highest"    # KKT-feature matvecs: highest|default|bf16
+    remat: bool = False             # jax.checkpoint each step in TBPTT chunks
     log_every: int = 1
 
     def run_name(self) -> str:

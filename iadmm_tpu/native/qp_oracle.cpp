@@ -1,0 +1,271 @@
+// First-party native QP oracle: dense OSQP-algorithm ADMM solver.
+//
+// The reference labels every dataset instance with the third-party OSQP C
+// solver at 1e-4 tolerance (reference: generate_data.py:78-83).  This is the
+// in-tree replacement: the same operator splitting (sigma-regularised KKT
+// solve, over-relaxation alpha, box projection, dual ascent, adaptive rho
+// with refactorisation), but on the *condensed* system
+//
+//     M = P + sigma*I + A^T diag(rho) A   (SPD -> Cholesky)
+//     x~ = M^{-1} (sigma*x - q + A^T (rho.*z - y))
+//     nu = rho .* (A x~ - z) + y          (implied dual of the KKT form)
+//
+// which is n^3/3 Cholesky instead of (n+m)^3/3 LU per (re)factorisation.
+// Instances are embarrassingly parallel: OpenMP dynamic schedule across the
+// batch.  Exposed via a C ABI for ctypes (no pybind11 in the image).
+//
+// Termination + adaptive-rho rules mirror iadmm_tpu/problems/oracle.py
+// (residual check every CHECK_EVERY iters, eps_abs/eps_rel criterion,
+// rho *= sqrt(pri_rel/dua_rel) with a 5x refactorisation threshold).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr double RHO_EQ_SCALE = 1e3;   // reference: models/lstm.py:18
+constexpr double RHO_LOOSE_SCALE = 1e-6;
+constexpr int CHECK_EVERY = 10;
+
+// In-place lower Cholesky of the row-major n x n SPD matrix M.
+// Returns false if a non-positive pivot appears.
+bool cholesky(double* M, int n) {
+  for (int j = 0; j < n; ++j) {
+    double d = M[j * n + j];
+    for (int k = 0; k < j; ++k) d -= M[j * n + k] * M[j * n + k];
+    if (d <= 0.0) return false;
+    d = std::sqrt(d);
+    M[j * n + j] = d;
+    const double inv = 1.0 / d;
+    for (int i = j + 1; i < n; ++i) {
+      double s = M[i * n + j];
+      const double* Li = &M[i * n];
+      const double* Lj = &M[j * n];
+      for (int k = 0; k < j; ++k) s -= Li[k] * Lj[k];
+      M[i * n + j] = s * inv;
+    }
+  }
+  return true;
+}
+
+// Solve L L^T x = b with the Cholesky factor stored in M's lower triangle.
+void chol_solve(const double* M, int n, const double* b, double* x) {
+  for (int i = 0; i < n; ++i) {
+    double s = b[i];
+    const double* Li = &M[i * n];
+    for (int k = 0; k < i; ++k) s -= Li[k] * x[k];
+    x[i] = s / Li[i];
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    double s = x[i];
+    for (int k = i + 1; k < n; ++k) s -= M[k * n + i] * x[k];
+    x[i] = s / M[i * n + i];
+  }
+}
+
+// M = P + sigma*I + A^T diag(rho) A, row-major. O(m n^2) with j-blocking.
+void build_condensed(const double* P, const double* A, const double* rho,
+                     double sigma, int n, int m, double* M) {
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j)
+      M[i * n + j] = P[i * n + j] + (i == j ? sigma : 0.0);
+  // rank-1 accumulation per constraint row, lower triangle only
+  for (int k = 0; k < m; ++k) {
+    const double* ak = &A[k * n];
+    const double rk = rho[k];
+    for (int i = 0; i < n; ++i) {
+      const double w = rk * ak[i];
+      if (w == 0.0) continue;
+      double* Mi = &M[i * n];
+      for (int j = 0; j <= i; ++j) Mi[j] += w * ak[j];
+    }
+  }
+  // mirror to upper triangle (cholesky reads lower only, but keep M full
+  // for debuggability)
+  for (int i = 0; i < n; ++i)
+    for (int j = i + 1; j < n; ++j) M[i * n + j] = M[j * n + i];
+}
+
+double inf_norm(const double* v, int k) {
+  double m = 0.0;
+  for (int i = 0; i < k; ++i) m = std::max(m, std::fabs(v[i]));
+  return m;
+}
+
+struct Work {
+  std::vector<double> M, rho, x, y, z, xt, zt, rhs, Ax, Px, ATy, tmp_m;
+};
+
+int solve_one(const double* P, const double* q, const double* A,
+              const double* zl, const double* zu, int n, int m,
+              double eps_abs, double eps_rel, int max_iter, double sigma,
+              double alpha, double rho0, double rho_refactor_tol,
+              double* x_out, double* y_out, int* iters_out, Work& w) {
+  w.M.resize((size_t)n * n);
+  w.rho.assign(m, 0.0);
+  w.x.assign(n, 0.0);
+  w.y.assign(m, 0.0);
+  w.z.assign(m, 0.0);
+  w.xt.assign(n, 0.0);
+  w.zt.assign(m, 0.0);
+  w.rhs.assign(n, 0.0);
+  w.Ax.assign(m, 0.0);
+  w.Px.assign(n, 0.0);
+  w.ATy.assign(n, 0.0);
+  w.tmp_m.assign(m, 0.0);
+
+  double rho_bar = rho0;
+  auto set_rho = [&](double rb) {
+    for (int k = 0; k < m; ++k) {
+      const bool eq = std::isfinite(zl[k]) && zl[k] == zu[k];
+      const bool loose = !std::isfinite(zl[k]) && !std::isfinite(zu[k]);
+      w.rho[k] = rb * (eq ? RHO_EQ_SCALE : loose ? RHO_LOOSE_SCALE : 1.0);
+    }
+  };
+  set_rho(rho_bar);
+  build_condensed(P, A, w.rho.data(), sigma, n, m, w.M.data());
+  if (!cholesky(w.M.data(), n)) return 2;
+
+  int it = 1;
+  for (; it <= max_iter; ++it) {
+    // rhs = sigma*x - q + A^T (rho.*z - y)
+    for (int k = 0; k < m; ++k) w.tmp_m[k] = w.rho[k] * w.z[k] - w.y[k];
+    for (int i = 0; i < n; ++i) w.rhs[i] = sigma * w.x[i] - q[i];
+    for (int k = 0; k < m; ++k) {
+      const double c = w.tmp_m[k];
+      if (c == 0.0) continue;
+      const double* ak = &A[(size_t)k * n];
+      for (int i = 0; i < n; ++i) w.rhs[i] += c * ak[i];
+    }
+    chol_solve(w.M.data(), n, w.rhs.data(), w.xt.data());
+
+    // z~ = A x~;  KKT-form auxiliaries (lu.py z-tilde semantics follow from
+    // nu = rho.*(A xt - z) + y  =>  z + (nu - y)/rho = A xt)
+    for (int k = 0; k < m; ++k) {
+      const double* ak = &A[(size_t)k * n];
+      double s = 0.0;
+      for (int i = 0; i < n; ++i) s += ak[i] * w.xt[i];
+      w.zt[k] = s;
+    }
+    // relaxation + projection + dual ascent
+    for (int i = 0; i < n; ++i)
+      w.x[i] = alpha * w.xt[i] + (1.0 - alpha) * w.x[i];
+    for (int k = 0; k < m; ++k) {
+      const double z_rel = alpha * w.zt[k] + (1.0 - alpha) * w.z[k];
+      double z_new = z_rel + w.y[k] / w.rho[k];
+      z_new = std::min(std::max(z_new, zl[k]), zu[k]);
+      w.y[k] += w.rho[k] * (z_rel - z_new);
+      w.z[k] = z_new;
+    }
+
+    if (it % CHECK_EVERY == 0 || it == max_iter) {
+      // residuals in the original space
+      for (int k = 0; k < m; ++k) {
+        const double* ak = &A[(size_t)k * n];
+        double s = 0.0;
+        for (int i = 0; i < n; ++i) s += ak[i] * w.x[i];
+        w.Ax[k] = s;
+      }
+      for (int i = 0; i < n; ++i) {
+        const double* Pi = &P[(size_t)i * n];
+        double s = 0.0;
+        for (int j = 0; j < n; ++j) s += Pi[j] * w.x[j];
+        w.Px[i] = s;
+      }
+      std::fill(w.ATy.begin(), w.ATy.end(), 0.0);
+      for (int k = 0; k < m; ++k) {
+        const double c = w.y[k];
+        if (c == 0.0) continue;
+        const double* ak = &A[(size_t)k * n];
+        for (int i = 0; i < n; ++i) w.ATy[i] += c * ak[i];
+      }
+      double pri = 0.0;
+      for (int k = 0; k < m; ++k)
+        pri = std::max(pri, std::fabs(w.Ax[k] - w.z[k]));
+      double dua = 0.0;
+      for (int i = 0; i < n; ++i)
+        dua = std::max(dua, std::fabs(w.Px[i] + q[i] + w.ATy[i]));
+      const double nAx = inf_norm(w.Ax.data(), m);
+      const double nz = inf_norm(w.z.data(), m);
+      const double nPx = inf_norm(w.Px.data(), n);
+      const double nATy = inf_norm(w.ATy.data(), n);
+      const double nq = inf_norm(q, n);
+      const double eps_pri = eps_abs + eps_rel * std::max(nAx, nz);
+      const double eps_dua =
+          eps_abs + eps_rel * std::max(nPx, std::max(nATy, nq));
+      if (pri <= eps_pri && dua <= eps_dua) {
+        *iters_out = it;
+        std::memcpy(x_out, w.x.data(), sizeof(double) * n);
+        std::memcpy(y_out, w.y.data(), sizeof(double) * m);
+        return 0;
+      }
+      // adaptive rho (OSQP rule)
+      if (m > 0 && pri > 0.0 && dua > 0.0) {
+        const double num = pri / std::max(std::max(nAx, nz), 1e-12);
+        const double den =
+            dua / std::max(std::max(nPx, std::max(nATy, nq)), 1e-18);
+        double nrb = rho_bar * std::sqrt(num / std::max(den, 1e-18));
+        nrb = std::min(std::max(nrb, 1e-6), 1e6);
+        if (nrb > rho_refactor_tol * rho_bar ||
+            nrb < rho_bar / rho_refactor_tol) {
+          rho_bar = nrb;
+          set_rho(rho_bar);
+          build_condensed(P, A, w.rho.data(), sigma, n, m, w.M.data());
+          if (!cholesky(w.M.data(), n)) return 2;
+        }
+      }
+    }
+  }
+  *iters_out = max_iter;
+  std::memcpy(x_out, w.x.data(), sizeof(double) * n);
+  std::memcpy(y_out, w.y.data(), sizeof(double) * m);
+  return 1;  // max_iter reached
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batch solve.  shared_data != 0 means P/A (and q) point to ONE instance
+// reused for all N (the QP_RHS family shares everything but zl/zu,
+// reference: generate_data.py:31-61).  Returns the number of solved
+// instances; per-instance status in status_out (0 solved, 1 max_iter,
+// 2 factorisation failure).
+int iadmm_solve_qp_batch(const double* P, const double* q, const double* A,
+                         const double* zl, const double* zu, int n, int m,
+                         int N, int shared_data, double eps_abs,
+                         double eps_rel, int max_iter, double sigma,
+                         double alpha, double rho0, double* x_out,
+                         double* y_out, int* iters_out, int* status_out,
+                         int num_threads) {
+#ifdef _OPENMP
+  if (num_threads > 0) omp_set_num_threads(num_threads);
+#endif
+  int solved = 0;
+#pragma omp parallel reduction(+ : solved)
+  {
+    Work w;
+#pragma omp for schedule(dynamic)
+    for (int i = 0; i < N; ++i) {
+      const size_t pi = shared_data ? 0 : (size_t)i;
+      const int st = solve_one(
+          P + pi * n * n, q + pi * n, A + pi * m * n, zl + (size_t)i * m,
+          zu + (size_t)i * m, n, m, eps_abs, eps_rel, max_iter, sigma, alpha,
+          rho0, 5.0, x_out + (size_t)i * n, y_out + (size_t)i * m,
+          iters_out + i, w);
+      status_out[i] = st;
+      if (st == 0) solved += 1;
+    }
+  }
+  return solved;
+}
+
+int iadmm_native_version() { return 1; }
+
+}  // extern "C"

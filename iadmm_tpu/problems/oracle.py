@@ -148,13 +148,37 @@ def solve_qp_osqp(P, q, A, zl, zu, eps: float = 1e-4,
 
 
 def label_dataset(ds, eps: float = 1e-4, max_iter: int = 20000,
-                  use_osqp: Optional[bool] = None, verbose: bool = False):
+                  use_osqp: Optional[bool] = None, verbose: bool = False,
+                  backend: str = "auto"):
     """Attach oracle labels ``x_opt, y_opt`` to a RawDataset in place and
     return the indices of solved instances (unsolved instances are dropped by
     the caller, mirroring the reference's skip-on-failure,
-    reference: generate_data.py:93-94)."""
-    if use_osqp is None:
-        use_osqp = HAVE_OSQP
+    reference: generate_data.py:93-94).
+
+    ``backend``: 'native' = C++ OpenMP batch solver
+    (:mod:`iadmm_tpu.native`), 'python' = pure-Python reference oracle,
+    'osqp' = the real OSQP package, 'auto' = native when buildable, else
+    osqp if installed, else python."""
+    if backend == "auto":
+        from .. import native
+        if use_osqp is None and native.available():
+            backend = "native"
+        else:
+            backend = "osqp" if (use_osqp or (use_osqp is None
+                                              and HAVE_OSQP)) else "python"
+    if backend == "native":
+        from .. import native
+        x, y, iters, status = native.solve_qp_batch(
+            np.asarray(ds.Q, np.float64) * 2.0, ds.p, ds.A0, ds.zl, ds.zu,
+            eps_abs=eps, eps_rel=eps, max_iter=max_iter)
+        solved_ids = np.nonzero(status == 0)[0]
+        if verbose:
+            print(f"native oracle: {len(solved_ids)}/{ds.size} solved, "
+                  f"mean {iters[status == 0].mean():.1f} iters")
+        ds.x_opt = x
+        ds.y_opt = y
+        return solved_ids.astype(np.int64)
+    use_osqp = backend == "osqp"
     N = ds.size
     n = ds.Q.shape[-1]
     m = ds.A0.shape[-2]

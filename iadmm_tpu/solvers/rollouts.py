@@ -38,15 +38,24 @@ def rollout(step_fn: StepFn, params, state: IterState, data: QPBatch,
 
 def chunk_loss(step_fn: StepFn, params, state: IterState, data: QPBatch,
                sigma, chunk_len: int, outer_T: int,
-               t0) -> Tuple[jax.Array, IterState]:
+               t0, remat: bool = False) -> Tuple[jax.Array, IterState]:
     """TBPTT chunk objective: sum over the chunk of
     mean_batch(primal+dual residual)/outer_T
-    (reference: main.py:336-347)."""
+    (reference: main.py:336-347).
+
+    ``remat=True`` rematerialises each step in the backward pass
+    (``jax.checkpoint`` inside the scan) — activation memory drops from
+    O(chunk_len · per-step) to O(per-step), the TPU play for the reference's
+    long-K workloads (Equality_QP K=400, Random_QP K=600; SURVEY.md §5
+    long-context row)."""
 
     def body(st, t):
         st = step_fn(params, t, st, data, sigma)
         _, _, l = metrics.primal_dual_loss(st.x, st.y, st.z, data)
         return st, l.mean()
+
+    if remat:
+        body = jax.checkpoint(body)
 
     ts = t0 + jnp.arange(chunk_len)
     final, losses = jax.lax.scan(body, state, ts)

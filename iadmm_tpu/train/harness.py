@@ -54,14 +54,14 @@ def make_optimizer(lr: float, weight_decay: float = 0.0):
 
 
 def make_train_chunk(step_fn, optimizer, outer_T: int, chunk_len: int,
-                     sigma: float):
+                     sigma: float, remat: bool = False):
     """Build the jitted TBPTT chunk update."""
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_chunk(params, opt_state, state: IterState, data, t0):
         def loss_fn(p):
             return chunk_loss(step_fn, p, state, data, sigma,
-                              chunk_len, outer_T, t0)
+                              chunk_len, outer_T, t0, remat=remat)
 
         (loss, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -112,9 +112,32 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
     opt_state = optimizer.init(params)
 
-    train_chunk = make_train_chunk(cell.step, optimizer, cfg.outer_T,
-                                   cfg.truncated_length, cfg.sigma)
-    val_fn = make_val_fn(cell.step, cfg.outer_T, cfg.sigma, cfg.hidden_dim)
+    # Step backend: Pallas fused cell / matvec precision profile apply to
+    # the LSTM model only (other cells use their registry step).
+    step_fn = cell.step
+    if cfg.model_name == "lstm" and (cfg.use_pallas
+                                     or cfg.matvec_mode != "highest"):
+        from ..solvers.step import make_lstm_step
+        step_fn = make_lstm_step(
+            use_pallas=cfg.use_pallas, gate_dtype=cfg.gate_dtype,
+            matvec_mode=None if cfg.matvec_mode == "highest"
+            else cfg.matvec_mode)
+
+    # Data-parallel mesh over the instance batch (SURVEY.md §2.4): XLA
+    # inserts the gradient all-reduce over ICI when the loss mean crosses
+    # the sharded axis.
+    from .. import dist
+    ndev = min(cfg.num_devices or len(jax.devices()), len(jax.devices()))
+    while ndev > 1 and cfg.batch_size % ndev:
+        ndev -= 1
+    mesh = dist.make_mesh(ndev) if ndev > 1 else None
+    if verbose and mesh is not None:
+        print(f"data-parallel over {ndev} devices")
+
+    train_chunk = make_train_chunk(step_fn, optimizer, cfg.outer_T,
+                                   cfg.truncated_length, cfg.sigma,
+                                   remat=cfg.remat)
+    val_fn = make_val_fn(step_fn, cfg.outer_T, cfg.sigma, cfg.hidden_dim)
     scale_jit = jax.jit(partial(scale_batch, iters=cfg.scaling_ites))
 
     # Val set: load once, scale once.
@@ -141,12 +164,18 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     history = []
     epochs_run = 0
 
+    if mesh is not None:
+        params = dist.replicate(params, mesh)
+        opt_state = dist.replicate(opt_state, mesh)
+
     for epoch in range(cfg.num_epoch):
         t_start = time.time()
         last_batch = None
         for bi in range(n_batches):
             ids = train_ids[bi * cfg.batch_size:(bi + 1) * cfg.batch_size]
             data_orig = to_qp_batch(ds, ids)
+            if mesh is not None:
+                data_orig = dist.shard_batch(data_orig, mesh)
             if cfg.scaling:
                 data, sc = scale_jit(data_orig)
                 d_vec = sc.d
@@ -154,6 +183,8 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                 data, d_vec = data_orig, None
             st = init_state(cfg.batch_size, data.num_var, data.num_constr,
                             cfg.hidden_dim)
+            if mesh is not None:
+                st = dist.shard_batch(st, mesh)
             for ci in range(n_chunks):
                 t0 = jnp.asarray(ci * cfg.truncated_length, jnp.int32)
                 params, opt_state, st, loss = train_chunk(

@@ -88,3 +88,37 @@ def test_train_chunk_runs_sharded():
     # sharding survived the step
     shards = params2["W"].sharding
     assert shards.is_fully_replicated
+
+
+def test_harness_trains_sharded(tmp_path):
+    """End-to-end harness.train with an 8-way data-parallel mesh."""
+    from iadmm_tpu.config import ExperimentConfig
+    from iadmm_tpu.problems.oracle import label_dataset
+    from iadmm_tpu.problems import generators
+
+    ds = generators.generate("QP", num_var=12, num_ineq=6, num_eq=6,
+                             data_size=40, seed=7)
+    cfg = ExperimentConfig(
+        prob_type="QP", num_var=12, num_ineq=6, num_eq=6, data_size=40,
+        hidden_dim=8, outer_T=4, truncated_length=2, batch_size=16,
+        lr=1e-3, num_epoch=2, val_frac=0.2, test_frac=0.2, eq_tol=1e9,
+        num_devices=8, save_dir=str(tmp_path))
+    res = harness.train(cfg, ds, verbose=False)
+    assert res.epochs_run == 2
+    assert np.isfinite(res.history[-1]["train_loss"])
+
+
+def test_remat_chunk_matches_no_remat():
+    data, params, st = _data_and_params()
+
+    def loss(p, remat):
+        l, _ = rollout_mod.chunk_loss(step_mod.lstm_step, p, st, data,
+                                      SIGMA, chunk_len=4, outer_T=4, t0=0,
+                                      remat=remat)
+        return l
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for k in g0:
+        assert np.allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                           rtol=1e-12, atol=1e-14), k
