@@ -22,6 +22,7 @@ Faithful TPU re-design of the reference's training driver
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Dict, Optional, Tuple
@@ -102,6 +103,11 @@ class TrainResult:
 def train(cfg: ExperimentConfig, ds: RawDataset,
           verbose: bool = True) -> TrainResult:
     """End-to-end training per the reference protocol (main.py:187-547)."""
+    from ..utils.logging import RunLog
+    runlog = RunLog(os.path.join(cfg.save_dir, cfg.model_name,
+                                 cfg.run_name() + ".log.jsonl")
+                    if cfg.save_dir else None)
+    runlog.log("config", **cfg.to_dict())
     train_ids, val_ids, _ = split_ids(cfg.data_size, cfg.val_frac,
                                       cfg.test_frac, cfg.seed)
     cell = get_cell(cfg.model_name)
@@ -212,6 +218,7 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                    val_time=t_val,
                    **{k: float(v) for k, v in vios.items()})
         history.append(rec)
+        runlog.log("epoch", **rec)
         if verbose and epoch % cfg.log_every == 0:
             vio_str = " | ".join(f"{k}: {float(v):.4f}"
                                  for k, v in vios.items())
