@@ -93,13 +93,25 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
                                    cfg.test_frac, cfg.seed)
     cell = get_cell(cfg.model_name)
     step_fn = cell.step
-    if cfg.use_pallas and cfg.model_name == "lstm":
-        step_fn = make_lstm_step(use_pallas=True, gate_dtype=cfg.gate_dtype)
+    if cfg.model_name == "lstm" and (cfg.use_pallas
+                                     or cfg.matvec_mode != "highest"):
+        step_fn = make_lstm_step(
+            use_pallas=cfg.use_pallas, gate_dtype=cfg.gate_dtype,
+            matvec_mode=None if cfg.matvec_mode == "highest"
+            else cfg.matvec_mode)
     sigma = cfg.sigma
     T = cfg.test_outer_T
     bs = cfg.test_batch_size
     n_batches = max(len(test_ids) // bs, 1)
     test_ids = test_ids[:n_batches * bs]
+
+    # Scenario-parallel inference: shard each test batch over a data mesh
+    # (instances are i.i.d.; no collectives inside the rollout).
+    from .. import dist
+    ndev = min(cfg.num_devices or len(jax.devices()), len(jax.devices()))
+    while ndev > 1 and bs % ndev:
+        ndev -= 1
+    mesh = dist.make_mesh(ndev) if ndev > 1 else None
 
     scale_jit = jax.jit(partial(scale_batch, iters=cfg.scaling_ites))
 
@@ -138,6 +150,8 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
     for bi in range(n_batches):
         ids = test_ids[bi * bs:(bi + 1) * bs]
         data_orig = to_qp_batch(ds, ids)
+        if mesh is not None:
+            data_orig = dist.shard_batch(data_orig, mesh)
         _fetch(data_orig.p)  # exclude H2D from the timed region
         t0 = time.perf_counter()
         if cfg.scaling:

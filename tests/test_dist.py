@@ -122,3 +122,26 @@ def test_remat_chunk_matches_no_remat():
     for k in g0:
         assert np.allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                            rtol=1e-12, atol=1e-14), k
+
+
+def test_run_test_sharded(tmp_path):
+    """Scenario-parallel eval over the 8-device mesh."""
+    from iadmm_tpu.config import ExperimentConfig
+    from iadmm_tpu.evaluation.driver import run_test
+    from iadmm_tpu.solvers.cells import lstm_init
+    from iadmm_tpu.problems import generators
+
+    ds = generators.generate("QP", num_var=12, num_ineq=6, num_eq=6,
+                             data_size=32, seed=8)
+    cfg = ExperimentConfig(prob_type="QP", num_var=12, num_ineq=6, num_eq=6,
+                           data_size=32, hidden_dim=8, outer_T=3,
+                           test_outer_T=3, test_batch_size=16,
+                           val_frac=0.0, test_frac=1.0, num_devices=8)
+    params = lstm_init(jax.random.PRNGKey(0), 2, 8, 3)
+    rep = run_test(cfg, ds, params, verbose=False)
+    assert rep.obj.shape == (3,)
+    assert np.isfinite(rep.primal_res).all()
+    cfg1 = ExperimentConfig(**{**cfg.to_dict(), "num_devices": 1})
+    rep1 = run_test(cfg1, ds, params, verbose=False)
+    np.testing.assert_allclose(rep.primal_res, rep1.primal_res,
+                               rtol=1e-6, atol=1e-9)
