@@ -70,6 +70,7 @@ class ExperimentConfig:
     gate_dtype: str = "float32"     # 'bfloat16' enables bf16 gate matmuls
     matvec_mode: str = "highest"    # KKT-feature matvecs: highest|default|bf16
     remat: bool = False             # jax.checkpoint each step in TBPTT chunks
+    resume: bool = False            # resume training from the run checkpoint
     log_every: int = 1
 
     def run_name(self) -> str:

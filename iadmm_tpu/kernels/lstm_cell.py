@@ -172,8 +172,12 @@ def _bwd(gate_dtype_name, residuals, cotangents):
     params, inputs, H, C = residuals
     cell_keys = ("W", "U", "b", "W_h", "b_h")
     sub = {k: params[k] for k in cell_keys}
-    _, vjp = jax.vjp(lambda p, i, h, c: cells.lstm_apply(p, i, h, c),
-                     sub, inputs, H, C)
+    # Recompute with the SAME gate dtype as the forward kernel: bf16
+    # forward gets a bf16-matmul backward (fast profile end to end).
+    _, vjp = jax.vjp(
+        lambda p, i, h, c: cells.lstm_apply(p, i, h, c,
+                                            gate_dtype=gate_dtype_name),
+        sub, inputs, H, C)
     d_sub, d_in, d_H, d_C = vjp(cotangents)
     d_params = {k: (d_sub[k] if k in d_sub else jnp.zeros_like(v))
                 for k, v in params.items()}

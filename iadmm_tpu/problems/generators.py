@@ -190,7 +190,41 @@ def generate_svm(num_var: int, num_ineq: int, data_size: int,
     return RawDataset("SVM", Q, p, A0, zl, zu, G=G, c=c, lb=lb, ub=ub)
 
 
-FAMILIES = ("QP", "QP_RHS", "Random_QP", "Equality_QP", "SVM")
+def generate_portfolio(num_var: int, num_factors: int, data_size: int,
+                       rng: np.random.Generator) -> RawDataset:
+    """``Portfolio`` family (TPU-build addition, BASELINE.json configs[4]):
+    Markowitz portfolio QP with a factor-model covariance.
+
+        min ½ xᵀ(2Σ)x − μᵀx   s.t.  1ᵀx = 1,  0 ≤ x ≤ w_max
+
+    Σ = F diag(s) Fᵀ + diag(d) with k factors (dense PSD Q, unlike the
+    diagonal/sparse reference families).  Stored Q is the half Hessian Σ
+    per the reference's Q×2 convention (reference: generate_data.py:79,
+    main.py:298).  Rows: 1 budget equality + n long-only box rows.
+    """
+    n, k, N = num_var, num_factors, data_size
+    F = rng.normal(0.0, 1.0, (N, n, k)) / np.sqrt(k)
+    s = rng.random((N, k)) + 0.5
+    d_diag = 0.1 * rng.random((N, n)) + 0.01
+    Q = np.einsum("bik,bk,bjk->bij", F, s, F)
+    Q[:, np.arange(n), np.arange(n)] += d_diag
+    mu = rng.normal(0.0, 0.1, (N, n))
+    p = -mu
+    w_max = np.full((N, n), min(1.0, 10.0 / n))
+    ones_row = np.ones((N, 1, n))
+    eye = np.broadcast_to(np.eye(n), (N, n, n))
+    A0 = np.concatenate([ones_row, eye], axis=-2)
+    zl = np.concatenate([np.ones((N, 1)), np.zeros((N, n))], axis=-1)
+    zu = np.concatenate([np.ones((N, 1)), w_max], axis=-1)
+    # metric views: budget row as equality, box rows via lb/ub
+    A = ones_row
+    b = np.ones((N, 1))
+    lb = np.zeros((N, n))
+    ub = w_max
+    return RawDataset("Portfolio", Q, p, A0, zl, zu, A=A, b=b, lb=lb, ub=ub)
+
+
+FAMILIES = ("QP", "QP_RHS", "Random_QP", "Equality_QP", "SVM", "Portfolio")
 
 
 def generate(prob_type: str, *, num_var: int, data_size: int,
@@ -208,4 +242,8 @@ def generate(prob_type: str, *, num_var: int, data_size: int,
         return generate_equality_qp(num_var, num_eq, data_size, rng)
     if prob_type == "SVM":
         return generate_svm(num_var, num_ineq, data_size, rng)
+    if prob_type == "Portfolio":
+        # num_ineq is repurposed as the factor count (default n // 10)
+        return generate_portfolio(num_var, num_ineq or max(num_var // 10, 1),
+                                  data_size, rng)
     raise ValueError(f"unknown prob_type {prob_type!r}; choose from {FAMILIES}")

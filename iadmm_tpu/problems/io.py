@@ -54,6 +54,8 @@ def dataset_path(root: str, prob_type: str, num_var: int,
         name = f"Equality_QP_{num_var}_{num_eq}"
     elif prob_type == "SVM":
         name = f"SVM_{num_var + num_ineq}_{num_ineq}"
+    elif prob_type == "Portfolio":
+        name = f"Portfolio_{num_var}_{num_ineq}"
     else:
         name = prob_type
     return os.path.join(root, name + ".npz")

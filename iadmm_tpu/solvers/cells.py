@@ -64,27 +64,41 @@ def lstm_init(key, input_dim: int, hidden_dim: int, length: int,
 
 
 def lstm_apply(params: Params, inputs: jax.Array, H: jax.Array,
-               C: jax.Array):
+               C: jax.Array, gate_dtype: str = None):
     """One shared-weight LSTM cell over the (n+m) token axis
     (reference: models/lstm.py:74-82).
 
     inputs: (B, nm, in_dim); H, C: (B, nm, h). Returns (delta (B, nm), H, C).
+    ``gate_dtype='bfloat16'`` runs the gate matmuls in bf16 with f32
+    accumulation (matches the Pallas fast path; used for its backward).
     """
     h = H.shape[-1]
-    gates = (jnp.einsum("bsi,ik->bsk", inputs, params["W"],
-                        precision=GATE_PRECISION)
-             + jnp.einsum("bsh,hk->bsk", H, params["U"],
-                          precision=GATE_PRECISION)
+    if gate_dtype == "bfloat16":
+        bf = jnp.bfloat16
+        prec, pet = jax.lax.Precision.DEFAULT, jnp.float32
+
+        def cast(a):
+            return a.astype(bf)
+    else:
+        prec, pet = GATE_PRECISION, None
+
+        def cast(a):
+            return a
+    gates = (jnp.einsum("bsi,ik->bsk", cast(inputs), cast(params["W"]),
+                        precision=prec, preferred_element_type=pet)
+             + jnp.einsum("bsh,hk->bsk", cast(H), cast(params["U"]),
+                          precision=prec, preferred_element_type=pet)
              + params["b"])
     i_t = jax.nn.sigmoid(gates[..., 0 * h:1 * h])
     f_t = jax.nn.sigmoid(gates[..., 1 * h:2 * h])
     o_t = jax.nn.sigmoid(gates[..., 2 * h:3 * h])
     u_t = jnp.tanh(gates[..., 3 * h:4 * h])
-    C = i_t * u_t + f_t * C
-    H = o_t * jnp.tanh(C)
-    delta = (jnp.einsum("bsh,ho->bso", H, params["W_h"],
-                        precision=GATE_PRECISION) + params["b_h"])[..., 0]
-    return delta, H, C
+    C_new = i_t * u_t + f_t * C.astype(gates.dtype)
+    H_new = o_t * jnp.tanh(C_new)
+    delta = (jnp.einsum("bsh,ho->bso", cast(H_new), cast(params["W_h"]),
+                        precision=prec, preferred_element_type=pet)
+             + params["b_h"])[..., 0]
+    return delta, H_new.astype(H.dtype), C_new.astype(C.dtype)
 
 
 # ---------------------------------------------------------------------------

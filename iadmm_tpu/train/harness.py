@@ -158,6 +158,21 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                                      cfg.run_name())
     best: Dict = {}
 
+    # Epoch-level resume (the reference only ever saves, never resumes
+    # training, SURVEY.md §5 checkpoint row).
+    start_epoch = 0
+    if cfg.resume and os.path.exists(ckpt_path):
+        payload = ckpt.load_checkpoint(ckpt_path)
+        params = jax.tree.map(jnp.asarray, payload["params"])
+        if "opt_state" in payload:
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt_state),
+                [jnp.asarray(l) for l in
+                 jax.tree_util.tree_leaves(payload["opt_state"])])
+        start_epoch = int(payload.get("epoch", 0)) + 1
+        if verbose:
+            print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+
     def save_best():
         best["params"] = params
         ckpt.save_checkpoint(ckpt_path, {
@@ -174,7 +189,7 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
         params = dist.replicate(params, mesh)
         opt_state = dist.replicate(opt_state, mesh)
 
-    for epoch in range(cfg.num_epoch):
+    for epoch in range(start_epoch, cfg.num_epoch):
         t_start = time.time()
         last_batch = None
         for bi in range(n_batches):

@@ -79,3 +79,27 @@ def test_split_ids_reference_shuffle():
     assert len(set(tr) | set(va) | set(te)) == 100
     tr2, _, _ = io.split_ids(100, 0.1, 0.1, seed=17)
     assert np.array_equal(tr, tr2)
+
+
+def test_portfolio_family():
+    """Portfolio family: PSD factor-model Q, budget equality, box rows,
+    and oracle solvability."""
+    from iadmm_tpu.problems import generators, oracle
+    from iadmm_tpu.problems.io import to_qp_batch
+    import numpy as np
+
+    ds = generators.generate("Portfolio", num_var=20, num_ineq=4,
+                             data_size=4, seed=3)
+    assert ds.Q.shape == (4, 20, 20)
+    assert ds.A0.shape == (4, 21, 20)
+    # PSD check
+    w = np.linalg.eigvalsh(ds.Q[0])
+    assert w.min() > 0
+    # budget row is an equality
+    data = to_qp_batch(ds)
+    assert bool(data.eq_mask[0, 0]) and not bool(data.eq_mask[0, 1])
+    ids = oracle.label_dataset(ds, eps=1e-5)
+    assert len(ids) == 4
+    # solutions satisfy budget + long-only within tolerance
+    assert np.allclose(ds.x_opt.sum(-1), 1.0, atol=1e-3)
+    assert (ds.x_opt >= -1e-4).all()

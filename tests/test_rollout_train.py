@@ -123,3 +123,26 @@ def test_eval_rollout_traces(tiny_qp):
     assert np.all(np.isfinite(np.asarray(tr2.primal_res)))
     # exact polish should reduce the primal residual
     assert float(tr2.primal_res[-1]) < float(trace.primal_res[-1]) * 2
+
+
+def test_train_resume(tmp_path):
+    """Epoch-level resume restores params/opt_state/epoch counter."""
+    import os
+    from iadmm_tpu.config import ExperimentConfig
+    from iadmm_tpu.problems import generators
+    from iadmm_tpu.train import harness
+
+    ds = generators.generate("QP", num_var=10, num_ineq=5, num_eq=5,
+                             data_size=16, seed=2)
+    kw = dict(prob_type="QP", num_var=10, num_ineq=5, num_eq=5,
+              data_size=16, hidden_dim=8, outer_T=3, truncated_length=3,
+              batch_size=4, lr=1e-3, val_frac=0.25, test_frac=0.0,
+              eq_tol=1e9, save_dir=str(tmp_path))
+    r1 = harness.train(ExperimentConfig(num_epoch=2, **kw), ds,
+                       verbose=False)
+    assert r1.checkpoint_path and os.path.exists(r1.checkpoint_path)
+    r2 = harness.train(ExperimentConfig(num_epoch=4, resume=True, **kw),
+                       ds, verbose=False)
+    # resumed from epoch 2 -> only 2 additional epochs recorded
+    assert r2.history[0]["epoch"] >= 2
+    assert r2.epochs_run == 4
