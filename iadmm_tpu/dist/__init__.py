@@ -1,5 +1,5 @@
 from .mesh import (make_mesh, batch_sharding, replicated, shard_batch,
-                   replicate, initialize_distributed)
+                   replicate, initialize_distributed, sync_hosts)
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
-           "replicate", "initialize_distributed"]
+           "replicate", "initialize_distributed", "sync_hosts"]

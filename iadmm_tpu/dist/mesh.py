@@ -60,10 +60,30 @@ def replicate(tree, mesh: Mesh):
 
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> None:
-    """Multi-host bootstrap over DCN; no-op when single-process."""
+                           process_id: Optional[int] = None,
+                           timeout_s: int = 300) -> None:
+    """Multi-host bootstrap over DCN; no-op when single-process.
+
+    Fails fast with a clear error instead of hanging when the coordinator
+    is unreachable (SURVEY.md §5 failure-detection row: the reference has
+    nothing; multi-host runs must at least die cleanly)."""
     if num_processes is None or num_processes <= 1:
         return
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator, num_processes=num_processes,
+            process_id=process_id,
+            initialization_timeout=timeout_s)
+    except Exception as e:
+        raise RuntimeError(
+            f"distributed bootstrap failed (coordinator={coordinator}, "
+            f"process {process_id}/{num_processes}): {e}") from e
+
+
+def sync_hosts(tag: str = "barrier") -> None:
+    """Cross-host phase barrier (epoch/checkpoint boundaries); no-op on a
+    single process."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(tag)
