@@ -18,18 +18,21 @@ from ..types import QPBatch
 from ..solvers.step import bmv, bmv_t
 
 
-def obj_fn(x: jax.Array, Q: jax.Array, p: jax.Array) -> jax.Array:
+def obj_fn(x: jax.Array, Q: jax.Array, p: jax.Array,
+           mode: str = None) -> jax.Array:
     """0.5 xᵀQx + pᵀx per instance (Q is the doubled Hessian,
-    reference: utils.py:53-54)."""
-    return 0.5 * jnp.einsum("bi,bi->b", x, bmv(Q, x)) + \
+    reference: utils.py:53-54).  ``mode`` selects the matvec precision
+    (see solvers.step.bmv); reporting paths use 'default'."""
+    return 0.5 * jnp.einsum("bi,bi->b", x, bmv(Q, x, mode)) + \
         jnp.einsum("bi,bi->b", p, x)
 
 
-def primal_dual_residual(x, y, z, Q, p, A0) -> Tuple[jax.Array, jax.Array]:
+def primal_dual_residual(x, y, z, Q, p, A0,
+                         mode: str = None) -> Tuple[jax.Array, jax.Array]:
     """(‖A0x − z‖₂, ‖Qx + p + A0ᵀy‖₂) per instance
     (reference: utils.py:68-71)."""
-    pr = jnp.linalg.norm(bmv(A0, x) - z, axis=-1)
-    dr = jnp.linalg.norm(bmv(Q, x) + p + bmv_t(A0, y), axis=-1)
+    pr = jnp.linalg.norm(bmv(A0, x, mode) - z, axis=-1)
+    dr = jnp.linalg.norm(bmv(Q, x, mode) + p + bmv_t(A0, y, mode), axis=-1)
     return pr, dr
 
 
@@ -39,14 +42,14 @@ def primal_dual_loss(x, y, z, data: QPBatch):
     return pr, dr, pr + dr
 
 
-def ineq_dist(x, G, c):
+def ineq_dist(x, G, c, mode: str = None):
     """relu(Gx − c) (reference: utils.py:56-57)."""
-    return jnp.maximum(bmv(G, x) - c, 0.0)
+    return jnp.maximum(bmv(G, x, mode) - c, 0.0)
 
 
-def eq_dist(x, A, b):
+def eq_dist(x, A, b, mode: str = None):
     """|b − Ax| (reference: utils.py:59-60)."""
-    return jnp.abs(b - bmv(A, x))
+    return jnp.abs(b - bmv(A, x, mode))
 
 
 def lb_dist(x, lb):
@@ -57,17 +60,17 @@ def ub_dist(x, ub):
     return jnp.maximum(x - ub, 0.0)
 
 
-def violation_stats(x: jax.Array, data: QPBatch):
+def violation_stats(x: jax.Array, data: QPBatch, mode: str = None):
     """Dict of (max-over-rows mean-over-batch, mean) per constraint class,
     mirroring the reference's per-epoch report (reference: main.py:367-379).
     Only classes present in the problem family appear."""
     out = {}
     if data.G is not None:
-        d = ineq_dist(x, data.G, data.c)
+        d = ineq_dist(x, data.G, data.c, mode)
         out["ineq_max"] = d.max(axis=-1).mean()
         out["ineq_mean"] = d.mean()
     if data.A is not None:
-        d = eq_dist(x, data.A, data.b)
+        d = eq_dist(x, data.A, data.b, mode)
         out["eq_max"] = d.max(axis=-1).mean()
         out["eq_mean"] = d.mean()
     if data.lb is not None:

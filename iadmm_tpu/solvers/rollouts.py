@@ -85,7 +85,8 @@ def _unscale(st: IterState, scaling: Optional[ScalingState]):
 def eval_rollout(step_fn: StepFn, params, state: IterState,
                  data_scaled: QPBatch, data_orig: QPBatch,
                  scaling: Optional[ScalingState], sigma,
-                 num_iters: int) -> Tuple[IterState, EvalTrace]:
+                 num_iters: int,
+                 metrics_mode: str = "default") -> Tuple[IterState, EvalTrace]:
     """Test rollout with per-iteration metrics.
 
     Metric conventions copied from the reference test loop:
@@ -103,13 +104,15 @@ def eval_rollout(step_fn: StepFn, params, state: IterState,
         st = step_fn(params, t, st, data_scaled, sigma)
         # ls_res in scaled space, b̃ from pre-update x/y/z.
         r1, r2 = kkt_residual(data_scaled, st.xv, old.x, old.y, old.z,
-                              sigma, rho_vec)
+                              sigma, rho_vec, metrics_mode)
         ls = jnp.linalg.norm(jnp.concatenate([r1, r2], -1), axis=-1).mean()
         x_u, y_u, z_u = _unscale(st, scaling)
-        obj = metrics.obj_fn(x_u, data_orig.Q, data_orig.p).mean()
+        obj = metrics.obj_fn(x_u, data_orig.Q, data_orig.p,
+                             metrics_mode).mean()
         pr, dr = metrics.primal_dual_residual(x_u, y_u, z_u, data_orig.Q,
-                                              data_orig.p, data_orig.A0)
-        vio = metrics.violation_stats(x_u, data_orig)
+                                              data_orig.p, data_orig.A0,
+                                              metrics_mode)
+        vio = metrics.violation_stats(x_u, data_orig, metrics_mode)
         ys = dict(obj=obj, primal_res=pr.mean(), dual_res=dr.mean(), ls=ls,
                   vio=vio)
         return st, ys
@@ -124,7 +127,8 @@ def eval_rollout(step_fn: StepFn, params, state: IterState,
 
 def eval_stage2(state: IterState, data_scaled: QPBatch, data_orig: QPBatch,
                 scaling: Optional[ScalingState], sigma,
-                rho_vec: jax.Array, num_iters: int
+                rho_vec: jax.Array, num_iters: int,
+                metrics_mode: str = "default"
                 ) -> Tuple[IterState, EvalTrace]:
     """Stage-II polish with per-iteration traces.
 
@@ -141,13 +145,15 @@ def eval_stage2(state: IterState, data_scaled: QPBatch, data_orig: QPBatch,
         old = st
         st = exact_mod.exact_step(lu, piv, rho_vec, st, data_scaled, sigma)
         r1, r2 = kkt_residual(data_scaled, st.xv, old.x, old.y, old.z,
-                              sigma, rho_vec)
+                              sigma, rho_vec, metrics_mode)
         ls = jnp.linalg.norm(jnp.concatenate([r1, r2], -1), axis=-1).mean()
         x_u, y_u, z_u = _unscale(st, scaling)
-        obj = metrics.obj_fn(x_u, data_orig.Q, data_orig.p).mean()
+        obj = metrics.obj_fn(x_u, data_orig.Q, data_orig.p,
+                             metrics_mode).mean()
         pr, dr = metrics.primal_dual_residual(x_u, y_u, z_u, data_orig.Q,
-                                              data_orig.p, data_orig.A0)
-        vio = metrics.violation_stats(x_u, data_orig)
+                                              data_orig.p, data_orig.A0,
+                                              metrics_mode)
+        vio = metrics.violation_stats(x_u, data_orig, metrics_mode)
         return st, dict(obj=obj, primal_res=pr.mean(), dual_res=dr.mean(),
                         ls=ls, vio=vio)
 
