@@ -174,9 +174,11 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
             print(f"resumed from {ckpt_path} at epoch {start_epoch}")
 
     def save_best():
-        best["params"] = params
+        # Host copy: the live `params` buffers are donated into the next
+        # train_chunk call and would be deleted under this reference.
+        best["params"] = jax.tree.map(np.asarray, params)
         ckpt.save_checkpoint(ckpt_path, {
-            "params": params, "opt_state": opt_state,
+            "params": best["params"], "opt_state": opt_state,
             "epoch": best.get("epoch", 0), "config": cfg.to_dict()})
 
     stopper = EarlyStopping(patience=cfg.patience, save_fn=save_best)
