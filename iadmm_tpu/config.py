@@ -71,6 +71,7 @@ class ExperimentConfig:
     matvec_mode: str = "highest"    # KKT-feature matvecs: highest|default|bf16
     remat: bool = False             # jax.checkpoint each step in TBPTT chunks
     resume: bool = False            # resume training from the run checkpoint
+    preload: str = "auto"           # train split on device once: auto|always|never
     log_every: int = 1
 
     def run_name(self) -> str:

@@ -191,19 +191,45 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
         params = dist.replicate(params, mesh)
         opt_state = dist.replicate(opt_state, mesh)
 
+    # Preload + pre-scale the whole train split on device ONCE.  The
+    # reference re-reads, re-transfers, and re-scales every batch every
+    # epoch (main.py:198-310); scaling is deterministic per instance so all
+    # of that is loop-invariant.  "auto" preloads when it fits in HBM.
+    preloaded = None
+    n_used = n_batches * cfg.batch_size
+    train_bytes = 4 * n_used * (ds.Q.shape[-1] ** 2
+                                + 2 * ds.A0.shape[-2] * ds.A0.shape[-1])
+    if mesh is None and (cfg.preload == "always" or
+                         (cfg.preload == "auto" and train_bytes < 4e9)):
+        orig_all = to_qp_batch(ds, train_ids[:n_used])
+        if cfg.scaling:
+            scaled_all, sc_all = scale_jit(orig_all)
+            d_all = sc_all.d
+        else:
+            scaled_all, d_all = orig_all, None
+        preloaded = {"orig": orig_all, "scaled": scaled_all, "d": d_all}
+
     for epoch in range(start_epoch, cfg.num_epoch):
         t_start = time.time()
         last_batch = None
         for bi in range(n_batches):
-            ids = train_ids[bi * cfg.batch_size:(bi + 1) * cfg.batch_size]
-            data_orig = to_qp_batch(ds, ids)
-            if mesh is not None:
-                data_orig = dist.shard_batch(data_orig, mesh)
-            if cfg.scaling:
-                data, sc = scale_jit(data_orig)
-                d_vec = sc.d
+            if preloaded is not None:
+                sl = slice(bi * cfg.batch_size, (bi + 1) * cfg.batch_size)
+                data_orig = jax.tree.map(lambda a: a[sl], preloaded["orig"])
+                data = jax.tree.map(lambda a: a[sl], preloaded["scaled"])
+                d_vec = (preloaded["d"][sl]
+                         if preloaded["d"] is not None else None)
             else:
-                data, d_vec = data_orig, None
+                ids = train_ids[bi * cfg.batch_size:
+                                (bi + 1) * cfg.batch_size]
+                data_orig = to_qp_batch(ds, ids)
+                if mesh is not None:
+                    data_orig = dist.shard_batch(data_orig, mesh)
+                if cfg.scaling:
+                    data, sc = scale_jit(data_orig)
+                    d_vec = sc.d
+                else:
+                    data, d_vec = data_orig, None
             st = init_state(cfg.batch_size, data.num_var, data.num_constr,
                             cfg.hidden_dim)
             if mesh is not None:
