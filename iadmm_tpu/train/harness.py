@@ -73,6 +73,49 @@ def make_train_chunk(step_fn, optimizer, outer_T: int, chunk_len: int,
     return train_chunk
 
 
+def make_train_epoch(step_fn, optimizer, outer_T: int, chunk_len: int,
+                     sigma: float, batch_size: int, hidden_dim: int,
+                     remat: bool = False):
+    """Whole-epoch update as ONE compiled scan over batches.
+
+    With the train split preloaded on device, the only remaining per-batch
+    cost is dispatch latency (25+ ms/call on a tunnelled backend).  Scanning
+    over the stacked (n_batches, B, ...) data pytree collapses an epoch to a
+    single dispatch; the TBPTT chunks are statically unrolled inside the
+    scan body (n_chunks is small).  Optimizer updates stay *per chunk*,
+    matching the reference's in-rollout stepping (main.py:336-358)."""
+    n_chunks = outer_T // chunk_len
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params, opt_state, data_stack):
+        def per_batch(carry, data):
+            params, opt_state = carry
+            st = init_state(batch_size, data.num_var, data.num_constr,
+                            hidden_dim, dtype=data.p.dtype)
+            loss = jnp.zeros((), data.p.dtype)
+            for ci in range(n_chunks):
+                t0 = jnp.asarray(ci * chunk_len, jnp.int32)
+
+                def loss_fn(p, st=st, t0=t0, data=data):
+                    return chunk_loss(step_fn, p, st, data, sigma,
+                                      chunk_len, outer_T, t0, remat=remat)
+
+                (loss, st), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, st.x)
+
+        (params, opt_state), (losses, xs) = jax.lax.scan(
+            per_batch, (params, opt_state), data_stack)
+        # xs[-1]: final-batch iterate for the reference's last-batch train
+        # metrics (main.py:362-379)
+        return params, opt_state, losses, xs[-1]
+
+    return train_epoch
+
+
 def make_val_fn(step_fn, outer_T: int, sigma: float, hidden_dim: int):
     """Jitted full-rollout validation: returns (val_obj, violations dict)
     computed in original space (reference: main.py:503-534)."""
@@ -209,17 +252,34 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
             scaled_all, d_all = orig_all, None
         preloaded = {"orig": orig_all, "scaled": scaled_all, "d": d_all}
 
+    # Whole-epoch compiled scan (one dispatch per epoch) when preloaded.
+    epoch_fn = data_stack = None
+    if preloaded is not None:
+        stripped = dataclasses.replace(preloaded["scaled"], G=None, c=None,
+                                       A=None, b=None, lb=None, ub=None)
+        data_stack = jax.tree.map(
+            lambda a: a.reshape((n_batches, cfg.batch_size) + a.shape[1:]),
+            stripped)
+        epoch_fn = make_train_epoch(step_fn, optimizer, cfg.outer_T,
+                                    cfg.truncated_length, cfg.sigma,
+                                    cfg.batch_size, cfg.hidden_dim,
+                                    remat=cfg.remat)
+
     for epoch in range(start_epoch, cfg.num_epoch):
         t_start = time.time()
-        last_batch = None
-        for bi in range(n_batches):
-            if preloaded is not None:
-                sl = slice(bi * cfg.batch_size, (bi + 1) * cfg.batch_size)
-                data_orig = jax.tree.map(lambda a: a[sl], preloaded["orig"])
-                data = jax.tree.map(lambda a: a[sl], preloaded["scaled"])
-                d_vec = (preloaded["d"][sl]
-                         if preloaded["d"] is not None else None)
-            else:
+        if epoch_fn is not None:
+            params, opt_state, losses, x_last = epoch_fn(params, opt_state,
+                                                         data_stack)
+            loss = losses[-1]
+            sl = slice((n_batches - 1) * cfg.batch_size,
+                       n_batches * cfg.batch_size)
+            data_orig = jax.tree.map(lambda a: a[sl], preloaded["orig"])
+            d_vec = (preloaded["d"][sl]
+                     if preloaded["d"] is not None else None)
+            x = x_last if d_vec is None else d_vec * x_last
+        else:
+            last_batch = None
+            for bi in range(n_batches):
                 ids = train_ids[bi * cfg.batch_size:
                                 (bi + 1) * cfg.batch_size]
                 data_orig = to_qp_batch(ds, ids)
@@ -230,20 +290,21 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                     d_vec = sc.d
                 else:
                     data, d_vec = data_orig, None
-            st = init_state(cfg.batch_size, data.num_var, data.num_constr,
-                            cfg.hidden_dim)
-            if mesh is not None:
-                st = dist.shard_batch(st, mesh)
-            for ci in range(n_chunks):
-                t0 = jnp.asarray(ci * cfg.truncated_length, jnp.int32)
-                params, opt_state, st, loss = train_chunk(
-                    params, opt_state, st, data, t0)
-            last_batch = (data_orig, st, d_vec, loss)
+                st = init_state(cfg.batch_size, data.num_var,
+                                data.num_constr, cfg.hidden_dim)
+                if mesh is not None:
+                    st = dist.shard_batch(st, mesh)
+                for ci in range(n_chunks):
+                    t0 = jnp.asarray(ci * cfg.truncated_length, jnp.int32)
+                    params, opt_state, st, loss = train_chunk(
+                        params, opt_state, st, data, t0)
+                last_batch = (data_orig, st, d_vec, loss)
+            data_orig, st, d_vec, loss = last_batch
+            x = st.x if d_vec is None else d_vec * st.x
+        loss = float(loss)  # host fetch = epoch completion barrier
         t_train = time.time() - t_start
 
         # Train metrics on the last batch, unscaled (reference: main.py:362-379).
-        data_orig, st, d_vec, loss = last_batch
-        x = st.x if d_vec is None else d_vec * st.x
         train_obj = float(metrics.obj_fn(x, data_orig.Q, data_orig.p).mean())
 
         # Validation.
