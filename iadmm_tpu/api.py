@@ -1,0 +1,84 @@
+"""High-level solve API.
+
+The reference has no callable solve surface — using a trained model means
+editing main.py's test branch.  This wraps the full pipeline (Ruiz scaling
+→ learned rollout → optional Stage-II exact polish → unscale) into one
+jittable call suitable for serving: scenario-parallel over the instance
+batch, no host round-trips inside the loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .types import QPBatch, IterState, init_state
+from .scaling import scale_batch
+from .solvers.step import get_cell, make_lstm_step, _schedules
+from .solvers.rollouts import rollout, unscale_state
+from .solvers import exact as exact_mod
+from .evaluation import metrics
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolveResult:
+    x: jax.Array            # (B, n) primal solution (original space)
+    y: jax.Array            # (B, m) dual
+    z: jax.Array            # (B, m) auxiliary
+    primal_res: jax.Array   # (B,)
+    dual_res: jax.Array     # (B,)
+    obj: jax.Array          # (B,)
+
+
+def make_solver(params: Dict, *, hidden_dim: int, num_iters: int,
+                sigma: float = 6e-6, scaling_iters: int = 10,
+                feas_rest_num: int = 0, use_pallas: bool = False,
+                gate_dtype: str = "float32",
+                matvec_mode: Optional[str] = None,
+                model_name: str = "lstm"):
+    """Build a jitted ``solve(data: QPBatch) -> SolveResult``.
+
+    ``feas_rest_num > 0`` appends Stage-II exact polish with the last
+    learned rho (reference: main.py:1035-1064).
+    """
+    if model_name == "lstm" and (use_pallas or matvec_mode):
+        step_fn = make_lstm_step(use_pallas=use_pallas,
+                                 gate_dtype=gate_dtype,
+                                 matvec_mode=matvec_mode)
+    else:
+        step_fn = get_cell(model_name).step
+    hc_dtype = jnp.bfloat16 if gate_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def solve(data: QPBatch) -> SolveResult:
+        B = data.p.shape[0]
+        scaled, sc = scale_batch(data, iters=scaling_iters) \
+            if scaling_iters else (data, None)
+        st = init_state(B, data.num_var, data.num_constr, hidden_dim,
+                        dtype=data.p.dtype, hc_dtype=hc_dtype)
+        st = rollout(step_fn, params, st, scaled, sigma, num_iters)
+        if sc is not None:
+            st = unscale_state(st, sc)
+        if feas_rest_num:
+            rho_vec, _ = _schedules(params, num_iters - 1, data.eq_mask)
+            st = exact_mod.feasibility_restoration(
+                st, data, sigma, rho_vec, feas_rest_num)
+        pr, dr = metrics.primal_dual_residual(
+            st.x, st.y, st.z, data.Q, data.p, data.A0, "default")
+        obj = metrics.obj_fn(st.x, data.Q, data.p, "default")
+        return SolveResult(x=st.x, y=st.y, z=st.z, primal_res=pr,
+                           dual_res=dr, obj=obj)
+
+    return solve
+
+
+def solve_qp_batch(data: QPBatch, params: Dict, *, hidden_dim: int,
+                   num_iters: int, **kw) -> SolveResult:
+    """One-shot convenience wrapper around :func:`make_solver`."""
+    return make_solver(params, hidden_dim=hidden_dim,
+                       num_iters=num_iters, **kw)(data)

@@ -8,6 +8,7 @@ from .exact import (build_kkt, lu_factorize, exact_step,
 from .rollouts import (rollout, chunk_loss, eval_rollout, eval_stage2,
                       unscale_state, EvalTrace)
 from . import cells
+from . import cg
 
 
 def best_lstm_step(gate_dtype: str = "bfloat16"):
@@ -37,5 +38,5 @@ __all__ = [
     "rho_vector", "RHO_EQ_OVER_RHO_INEQ",
     "build_kkt", "lu_factorize", "exact_step", "feasibility_restoration",
     "ALPHA_STAGE2", "rollout", "chunk_loss", "eval_rollout", "eval_stage2",
-    "unscale_state", "EvalTrace", "cells",
+    "unscale_state", "EvalTrace", "cells", "cg",
 ]
