@@ -233,17 +233,21 @@ def run_osqp_baseline(cfg: ExperimentConfig, ds: RawDataset,
                                    cfg.test_frac, cfg.seed)
     times, iters, objs, solved = [], [], [], 0
     x0 = y0 = None
+
+    def sh(a, i):  # dim-1 leading axis = shared data (QP_RHS family)
+        return a[i if a.shape[0] > 1 else 0]
+
     for i in test_ids:
-        P = ds.Q[i] * 2.0
+        P = sh(ds.Q, i) * 2.0
         t0 = time.perf_counter()
-        r = oracle.solve_qp(P, ds.p[i], ds.A0[i], ds.zl[i], ds.zu[i],
-                            eps_abs=eps, eps_rel=eps,
+        r = oracle.solve_qp(P, sh(ds.p, i), sh(ds.A0, i), ds.zl[i],
+                            ds.zu[i], eps_abs=eps, eps_rel=eps,
                             x0=x0 if warm_start else None,
                             y0=y0 if warm_start else None)
         times.append(time.perf_counter() - t0)
         iters.append(r.iters)
         solved += int(r.solved)
-        objs.append(0.5 * r.x @ P @ r.x + ds.p[i] @ r.x)
+        objs.append(0.5 * r.x @ P @ r.x + sh(ds.p, i) @ r.x)
         if warm_start:
             x0, y0 = r.x, r.y
     out = dict(mean_time=float(np.mean(times)), mean_iters=float(np.mean(iters)),

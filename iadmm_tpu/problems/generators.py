@@ -49,14 +49,18 @@ class RawDataset:
 
     @property
     def size(self) -> int:
-        return self.Q.shape[0]
+        # zl always carries the true instance count (shared-data families
+        # store per-instance bounds but dim-1 shared matrices).
+        return self.zl.shape[0]
 
     def slice(self, idx) -> "RawDataset":
         def take(a):
-            return None if a is None else a[idx]
+            if a is None:
+                return None
+            return a if a.shape[0] == 1 else a[idx]  # dim-1 = shared
         return RawDataset(
             prob_type=self.prob_type,
-            Q=self.Q[idx], p=self.p[idx], A0=self.A0[idx],
+            Q=take(self.Q), p=take(self.p), A0=take(self.A0),
             zl=self.zl[idx], zu=self.zu[idx],
             G=take(self.G), c=take(self.c), A=take(self.A), b=take(self.b),
             lb=take(self.lb), ub=take(self.ub),
@@ -93,7 +97,12 @@ def generate_qp(num_var: int, num_ineq: int, num_eq: int, data_size: int,
 def generate_qp_rhs(num_var: int, num_ineq: int, num_eq: int, data_size: int,
                     rng: np.random.Generator) -> RawDataset:
     """``QP_RHS`` family: one shared (Q, p, A, G); only the equality RHS b
-    varies across instances (reference: generate_data.py:31-61)."""
+    varies across instances (reference: generate_data.py:31-61).
+
+    Shared arrays are stored with leading dim 1 (the reference — and its
+    loader — materializes N host copies; at the 1500-var workload that is
+    ~18 GB of identical matrices).  ``RawDataset.slice`` keeps dim-1
+    leaves; ``to_qp_batch`` broadcasts on device."""
     n, mi, me, N = num_var, num_ineq, num_eq, data_size
     Qdiag = 0.5 * rng.random(n)
     Q0 = np.diag(Qdiag)
@@ -102,12 +111,15 @@ def generate_qp_rhs(num_var: int, num_ineq: int, num_eq: int, data_size: int,
     b = 2.0 * rng.random((N, me)) - 1.0
     G_ = rng.normal(0.0, 1.0, (mi, n))
     c_ = np.abs(G_ @ np.linalg.pinv(A_)).sum(axis=-1)
-    Q = np.broadcast_to(Q0, (N, n, n)).copy()
-    p = np.broadcast_to(p0, (N, n)).copy()
-    A = np.broadcast_to(A_, (N, me, n)).copy()
-    G = np.broadcast_to(G_, (N, mi, n)).copy()
-    c = np.broadcast_to(c_, (N, mi)).copy()
-    A0, zl, zu = _stack_ineq_eq(G, c, A, b)
+    Q = Q0[None]
+    p = p0[None]
+    A = A_[None]
+    G = G_[None]
+    c = c_[None]
+    A0 = np.concatenate([G, A], axis=-2)                       # (1, m, n)
+    zl = np.concatenate([np.broadcast_to(np.full((1, mi), -np.inf),
+                                         (N, mi)), b], axis=-1)
+    zu = np.concatenate([np.broadcast_to(c, (N, mi)), b], axis=-1)
     return RawDataset("QP_RHS", Q, p, A0, zl, zu, G=G, c=c, A=A, b=b)
 
 

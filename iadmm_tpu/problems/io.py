@@ -105,11 +105,20 @@ def load_reference_gz_dir(data_dir: str, prefix: str,
 def to_qp_batch(ds: RawDataset, idx=None, dtype=jnp.float32,
                 with_metric_views: bool = True) -> QPBatch:
     """Device pytree with the doubled Hessian (``Q*2`` load convention,
-    reference: main.py:298) and the zl==zu equality-row mask."""
+    reference: main.py:298) and the zl==zu equality-row mask.
+
+    Shared-data leaves (leading dim 1, QP_RHS family) are broadcast to the
+    batch size on device — XLA keeps the broadcast lazy where possible."""
     sub = ds if idx is None else ds.slice(idx)
+    B = sub.zl.shape[0]
 
     def arr(v, d=dtype):
-        return None if v is None else jnp.asarray(v, d)
+        if v is None:
+            return None
+        a = jnp.asarray(v, d)
+        if a.shape[0] == 1 and B > 1:
+            a = jnp.broadcast_to(a, (B,) + a.shape[1:])
+        return a
 
     zl = arr(sub.zl)
     zu = arr(sub.zu)

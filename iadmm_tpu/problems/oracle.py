@@ -168,8 +168,11 @@ def label_dataset(ds, eps: float = 1e-4, max_iter: int = 20000,
                                               and HAVE_OSQP)) else "python"
     if backend == "native":
         from .. import native
+        shared = ds.Q.shape[0] == 1 and ds.size > 1
+        Pn = np.asarray(ds.Q[0] if shared else ds.Q, np.float64) * 2.0
         x, y, iters, status = native.solve_qp_batch(
-            np.asarray(ds.Q, np.float64) * 2.0, ds.p, ds.A0, ds.zl, ds.zu,
+            Pn, ds.p[0] if shared else ds.p,
+            ds.A0[0] if shared else ds.A0, ds.zl, ds.zu,
             eps_abs=eps, eps_rel=eps, max_iter=max_iter)
         solved_ids = np.nonzero(status == 0)[0]
         if verbose:
@@ -185,13 +188,16 @@ def label_dataset(ds, eps: float = 1e-4, max_iter: int = 20000,
     x_opt = np.zeros((N, n))
     y_opt = np.zeros((N, m))
     solved_ids = []
+    def sh(a, i):  # dim-1 leading axis = shared across instances (QP_RHS)
+        return a[i if a.shape[0] > 1 else 0]
+
     for i in range(N):
-        P = ds.Q[i] * 2.0  # stored half Hessian -> full (reference convention)
+        P = sh(ds.Q, i) * 2.0  # stored half Hessian -> full (reference conv.)
         if use_osqp:
-            r = solve_qp_osqp(P, ds.p[i], ds.A0[i], ds.zl[i], ds.zu[i],
-                              eps=eps, max_iter=max_iter)
+            r = solve_qp_osqp(P, sh(ds.p, i), sh(ds.A0, i), ds.zl[i],
+                              ds.zu[i], eps=eps, max_iter=max_iter)
         else:
-            r = solve_qp(P, ds.p[i], ds.A0[i], ds.zl[i], ds.zu[i],
+            r = solve_qp(P, sh(ds.p, i), sh(ds.A0, i), ds.zl[i], ds.zu[i],
                          eps_abs=eps, eps_rel=eps, max_iter=max_iter)
         if r.solved:
             x_opt[i] = r.x

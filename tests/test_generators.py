@@ -15,10 +15,12 @@ from iadmm_tpu.problems import generators, io
 def test_family_shapes_and_masks(family, kw):
     ds = generators.generate(family, data_size=4, seed=1, **kw)
     N = 4
-    assert ds.Q.shape[0] == N
+    # shared-data families store dim-1 matrices (QP_RHS)
+    assert ds.Q.shape[0] in (N, 1)
+    assert ds.size == N
     n = ds.Q.shape[-1]
     m = ds.A0.shape[-2]
-    assert ds.p.shape == (N, n)
+    assert ds.p.shape[-1] == n and ds.p.shape[0] in (N, 1)
     assert ds.zl.shape == (N, m) and ds.zu.shape == (N, m)
     assert np.all(ds.zl <= ds.zu)
     # Q half-Hessian must be symmetric PSD.
@@ -47,9 +49,21 @@ def test_family_shapes_and_masks(family, kw):
 def test_qp_rhs_shares_lhs():
     ds = generators.generate("QP_RHS", num_var=10, num_ineq=5, num_eq=5,
                              data_size=3, seed=2)
-    assert np.allclose(ds.Q[0], ds.Q[1])
-    assert np.allclose(ds.A0[0], ds.A0[2])
+    # shared LHS stored ONCE (dim-1), per-instance RHS b
+    assert ds.Q.shape[0] == 1 and ds.A0.shape[0] == 1
+    assert ds.b.shape[0] == 3
     assert not np.allclose(ds.b[0], ds.b[1])
+    # device batch broadcasts shared leaves to the instance count
+    batch = io.to_qp_batch(ds)
+    assert batch.Q.shape[0] == 3
+    assert np.allclose(np.asarray(batch.Q[0]), np.asarray(batch.Q[2]))
+    # slicing keeps shared leaves shared
+    sub = ds.slice(np.asarray([0, 2]))
+    assert sub.Q.shape[0] == 1 and sub.zl.shape[0] == 2
+    # oracle labeling flows through the shared-data fast path
+    from iadmm_tpu.problems import oracle
+    ids = oracle.label_dataset(ds, eps=1e-5)
+    assert len(ids) == 3
 
 
 def test_qp_feasibility_trick():
