@@ -12,7 +12,7 @@ import os
 import sys
 
 from . import config_parser, parse_config
-from ..problems.io import load_npz, dataset_path
+from ..problems.io import load_dataset
 from ..train import checkpoint as ckpt
 from ..evaluation.driver import run_test, export_traces, run_osqp_baseline
 
@@ -27,9 +27,9 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     cfg = parse_config(args)
 
-    path = dataset_path(cfg.data_root, cfg.prob_type, cfg.num_var,
-                        cfg.num_ineq, cfg.num_eq)
-    ds = load_npz(path)
+    ds = load_dataset(cfg.data_root, cfg.prob_type, cfg.num_var,
+                      cfg.num_ineq, cfg.num_eq, cfg.qplib_num,
+                      cfg.data_size)
     cfg.data_size = min(cfg.data_size, ds.size)
 
     load_path = args.load_path or ckpt.checkpoint_path(

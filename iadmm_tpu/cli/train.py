@@ -10,7 +10,7 @@ import os
 import sys
 
 from . import config_parser, parse_config
-from ..problems.io import load_npz, dataset_path
+from ..problems.io import load_dataset, dataset_path
 from ..train.harness import train
 
 
@@ -23,7 +23,8 @@ def main(argv=None) -> int:
 
     path = dataset_path(cfg.data_root, cfg.prob_type, cfg.num_var,
                         cfg.num_ineq, cfg.num_eq)
-    if not os.path.exists(path) and args.generate:
+    if cfg.prob_type != "QPLIB" and not os.path.exists(path) \
+            and args.generate:
         from .generate_data import main as gen_main
         gen_main(["--prob_type", cfg.prob_type,
                   "--num_var", str(cfg.num_var),
@@ -32,7 +33,9 @@ def main(argv=None) -> int:
                   "--data_size", str(cfg.data_size),
                   "--seed", str(cfg.seed),
                   "--data_root", cfg.data_root])
-    ds = load_npz(path)
+    ds = load_dataset(cfg.data_root, cfg.prob_type, cfg.num_var,
+                      cfg.num_ineq, cfg.num_eq, cfg.qplib_num,
+                      cfg.data_size)
     if ds.size < cfg.data_size:
         print(f"note: dataset has {ds.size} < data_size={cfg.data_size}; "
               f"using {ds.size}")

@@ -29,6 +29,7 @@ class ExperimentConfig:
     num_var: int = 100
     num_eq: int = 0
     num_ineq: int = 0
+    qplib_num: int = 0              # QPLIB instance id (prob_type='QPLIB')
     data_size: int = 1000
     data_root: str = "./datasets"
 
@@ -87,6 +88,8 @@ class ExperimentConfig:
             core = f"{pt}_{self.num_var}_{self.num_eq}"
         elif pt == "SVM":
             core = f"{pt}_{self.num_var}_{self.num_ineq}"
+        elif pt == "QPLIB":
+            core = f"QPLIB_{self.qplib_num}"
         else:
             core = pt
         return f"{core}_{self.outer_T}_{self.hidden_dim}"

@@ -61,6 +61,29 @@ def dataset_path(root: str, prob_type: str, num_var: int,
     return os.path.join(root, name + ".npz")
 
 
+def load_dataset(root: str, prob_type: str, num_var: int = 0,
+                 num_ineq: int = 0, num_eq: int = 0, qplib_num: int = 0,
+                 data_size: int = 1000) -> RawDataset:
+    """Unified loader: our stacked ``.npz`` if present, else the reference's
+    per-instance gz-pickle directory layout (reference: main.py:78-166),
+    including the ``QPLIB`` family whose instances only exist as
+    pre-generated ``qplib_<num>_<i>.gz`` files (reference: main.py:111-117,
+    213-214)."""
+    if prob_type == "QPLIB":
+        d = os.path.join(root, f"QPLIB_{qplib_num}")
+        return load_reference_gz_dir(d, f"qplib_{qplib_num}",
+                                     range(data_size))
+    path = dataset_path(root, prob_type, num_var, num_ineq, num_eq)
+    if os.path.exists(path):
+        return load_npz(path)
+    # reference directory layout: <root>/<name>/<prob_type>_<i>.gz
+    name = os.path.splitext(os.path.basename(path))[0]
+    d = os.path.join(root, name)
+    if os.path.isdir(d):
+        return load_reference_gz_dir(d, prob_type, range(data_size))
+    raise FileNotFoundError(f"no dataset at {path} or {d}")
+
+
 def load_reference_gz_dir(data_dir: str, prefix: str,
                           ids: Sequence[int]) -> RawDataset:
     """Load reference-format per-instance gzip pickles

@@ -69,3 +69,26 @@ def test_all_families_generate_and_batch():
         batch = io.to_qp_batch(ds)
         assert batch.Q.shape[0] == 2
         assert np.isfinite(np.asarray(batch.p)).all()
+
+
+def test_qplib_loader(tmp_path):
+    """QPLIB family loads from the reference's qplib_<num>_<i>.gz layout
+    (reference: main.py:111-117, 213-214)."""
+    import gzip, pickle
+    rng = np.random.default_rng(1)
+    n, m = 5, 4
+    d = tmp_path / "QPLIB_8845"
+    d.mkdir()
+    for i in range(3):
+        inst = {"Q": np.diag(rng.random(n)), "p": rng.random((n, 1)),
+                "A0": rng.standard_normal((m, n)),
+                "zl": rng.random((m, 1)), "zu": rng.random((m, 1)) + 1.0}
+        with gzip.open(d / f"qplib_8845_{i}.gz", "wb") as f:
+            pickle.dump(inst, f)
+    ds = io.load_dataset(str(tmp_path), "QPLIB", qplib_num=8845,
+                         data_size=3)
+    assert ds.Q.shape == (3, n, n) and ds.A0.shape == (3, m, n)
+
+    from iadmm_tpu.config import ExperimentConfig
+    cfg = ExperimentConfig(prob_type="QPLIB", qplib_num=8845)
+    assert cfg.run_name().startswith("QPLIB_8845")
