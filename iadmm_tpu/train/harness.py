@@ -334,7 +334,9 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
         if early:
             break
 
-    final_params = best.get("params", params)
+    # Return device arrays: best["params"] is a host copy (donation safety),
+    # but consumers index rho/alpha with traced t inside scans.
+    final_params = jax.tree.map(jnp.asarray, best.get("params", params))
     return TrainResult(params=final_params, history=history,
                        best_val_obj=stopper.best_loss,
                        epochs_run=epochs_run,

@@ -24,14 +24,14 @@ case "${1:-QP}" in
     $T --prob_type QP_RHS --num_var 1500 --num_ineq 750 --num_eq 750 \
        --outer_T 150 --truncated_length 150 --hidden_dim 400 \
        --eq_tol 0.2 --ineq_tol 0.2 "${@:2}" ;;
-  Equality_QP)  # Synthetic.sh:24 (K=400, TBPTT 200)
+  Equality_QP)  # Synthetic.sh:24 (K=400, TBPTT 200; remat bounds activation memory)
     $T --prob_type Equality_QP --num_var 1000 --num_eq 500 \
        --outer_T 400 --truncated_length 200 --hidden_dim 200 \
-       --eq_tol 0.5 --ineq_tol 0.5 "${@:2}" ;;
-  Random_QP)    # Synthetic.sh:29 (K=600, TBPTT 150)
+       --eq_tol 0.5 --ineq_tol 0.5 --remat true "${@:2}" ;;
+  Random_QP)    # Synthetic.sh:29 (K=600, TBPTT 150; remat bounds activation memory)
     $T --prob_type Random_QP --num_var 1000 --num_ineq 2000 \
        --outer_T 600 --truncated_length 150 --hidden_dim 200 \
-       --eq_tol 1.0 --ineq_tol 1.0 "${@:2}" ;;
+       --eq_tol 1.0 --ineq_tol 1.0 --remat true "${@:2}" ;;
   SVM)          # Synthetic.sh:35 (K=50)
     $T --prob_type SVM --num_var 1500 --num_ineq 500 \
        --outer_T 50 --truncated_length 50 --hidden_dim 800 \
