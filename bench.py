@@ -124,6 +124,46 @@ def bench_rollout(step_fn, params, data, hidden, K, reps, label,
     return ips
 
 
+def bench_megakernel(params, data, h, K, reps, timeout_s=900.0):
+    """Whole-rollout megakernel throughput; None if unavailable or the
+    (one-time) Mosaic compile exceeds the budget on this backend."""
+    import threading
+    from iadmm_tpu.kernels.rollout_kernel import fused_rollout
+
+    box = {}
+
+    def first_call():
+        try:
+            x, _, _ = fused_rollout(params, data, hidden=h, K=K, sigma=6e-6)
+            box["sum"] = float(np.asarray(x).sum())
+        except Exception as e:  # pragma: no cover
+            box["err"] = str(e)
+
+    t0 = time.perf_counter()
+    th = threading.Thread(target=first_call, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        log(f"megakernel: compile exceeded {timeout_s:.0f}s budget; skipping")
+        return None
+    if "err" in box:
+        log(f"megakernel unavailable: {box['err'][:200]}")
+        return None
+    log(f"megakernel: compile+first run {time.perf_counter() - t0:.1f}s "
+        f"(sum={box['sum']:.3e})")
+    B = data.p.shape[0]
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x, _, _ = fused_rollout(params, data, hidden=h, K=K, sigma=6e-6)
+        float(np.asarray(x).sum())
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    ips = B * K / best
+    log(f"megakernel: best {best * 1e3:.1f} ms -> {ips:.1f} instance_iters/s")
+    return ips
+
+
 def main():
     B, n, mi, me, h, K = 8, 1000, 500, 500, 800, 100
     log(f"devices: {jax.devices()}")
@@ -139,6 +179,10 @@ def main():
     fused = bench_rollout(step_fn, params, data, h, K, reps=4,
                           label=f"fused[{impl}]",
                           hc_dtype=jnp.bfloat16 if "pallas" in impl else None)
+    if "pallas" in impl:
+        mega = bench_megakernel(params, data, h, K, reps=4)
+        if mega is not None and mega > fused:
+            fused, impl = mega, "pallas-megakernel"
     base = bench_rollout(reference_style_step, params, data, h, K, reps=2,
                          label="reference-style")
 
@@ -147,6 +191,7 @@ def main():
         "value": round(fused, 1),
         "unit": "instance_iters/s",
         "vs_baseline": round(fused / base, 3),
+        "impl": impl,
     }))
 
 

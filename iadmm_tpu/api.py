@@ -40,11 +40,15 @@ def make_solver(params: Dict, *, hidden_dim: int, num_iters: int,
                 feas_rest_num: int = 0, use_pallas: bool = False,
                 gate_dtype: str = "float32",
                 matvec_mode: Optional[str] = None,
-                model_name: str = "lstm"):
+                model_name: str = "lstm",
+                rollout_impl: str = "step"):
     """Build a jitted ``solve(data: QPBatch) -> SolveResult``.
 
     ``feas_rest_num > 0`` appends Stage-II exact polish with the last
-    learned rho (reference: main.py:1035-1064).
+    learned rho (reference: main.py:1035-1064).  ``rollout_impl='fused'``
+    runs the whole K-iteration rollout inside the Pallas megakernel
+    (Q/A0/state VMEM-resident; TPU-only, bf16 profile) — the fastest
+    serving path.
     """
     if model_name == "lstm" and (use_pallas or matvec_mode):
         step_fn = make_lstm_step(use_pallas=use_pallas,
@@ -59,9 +63,18 @@ def make_solver(params: Dict, *, hidden_dim: int, num_iters: int,
         B = data.p.shape[0]
         scaled, sc = scale_batch(data, iters=scaling_iters) \
             if scaling_iters else (data, None)
-        st = init_state(B, data.num_var, data.num_constr, hidden_dim,
-                        dtype=data.p.dtype, hc_dtype=hc_dtype)
-        st = rollout(step_fn, params, st, scaled, sigma, num_iters)
+        if rollout_impl == "fused":
+            from .kernels.rollout_kernel import fused_rollout
+            x, y, z = fused_rollout(params, scaled, hidden=hidden_dim,
+                                    K=num_iters, sigma=sigma)
+            st = IterState(x=x, y=y, z=z,
+                           xv=jnp.concatenate([x, y], -1),
+                           H=jnp.zeros((B, 1, 1), hc_dtype),
+                           C=jnp.zeros((B, 1, 1), hc_dtype))
+        else:
+            st = init_state(B, data.num_var, data.num_constr, hidden_dim,
+                            dtype=data.p.dtype, hc_dtype=hc_dtype)
+            st = rollout(step_fn, params, st, scaled, sigma, num_iters)
         if sc is not None:
             st = unscale_state(st, sc)
         if feas_rest_num:

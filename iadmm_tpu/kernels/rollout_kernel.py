@@ -180,8 +180,14 @@ def fused_rollout(params: Dict, data: QPBatch, *, hidden: int, K: int,
     n = _round_up(n_true, 128)
     m = _round_up(m_true, 128)
     S = n + m
-    TS = token_tile or (512 if S % 512 == 0 else
-                        256 if S % 256 == 0 else 128)
+    if token_tile:
+        TS = token_tile
+    elif S * 4 * hidden * 4 <= 32 * 1024 * 1024:
+        # single tile: no inner loop / dynamic slices — an order of
+        # magnitude faster Mosaic compile at flagship shapes (24 min -> ~1)
+        TS = S
+    else:
+        TS = 512 if S % 512 == 0 else 256 if S % 256 == 0 else 128
     S_pad = _round_up(S, TS)
 
     def pad2(a, d1, fill=0.0):
