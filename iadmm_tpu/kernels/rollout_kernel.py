@@ -271,3 +271,23 @@ def fused_rollout(params: Dict, data: QPBatch, *, hidden: int, K: int,
       params["W_h"].astype(jnp.bfloat16),
       params["b_h"].reshape(1, -1).astype(jnp.float32))
     return x[:, 0, :n_true], y[:, 0, :m_true], z[:, 0, :m_true]
+
+
+def fused_rollout_sharded(params: Dict, data: QPBatch, mesh, *,
+                          hidden: int, K: int, sigma: float = 6e-6
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Scenario-parallel megakernel over a ('data',) mesh: each device runs
+    the kernel on its shard of the instance batch; no collectives (QPs are
+    i.i.d.).  Batch must be divisible by the mesh size."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def local(params, data):
+        return fused_rollout(params, data, hidden=hidden, K=K, sigma=sigma)
+
+    data_spec = jax.tree.map(lambda _: P("data"), data)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), params), data_spec),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_rep=False)(params, data)
