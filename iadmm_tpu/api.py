@@ -10,7 +10,6 @@ batch, no host round-trips inside the loop.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, Optional
 
 import jax

@@ -10,7 +10,6 @@ declaring it, reference: main.py:191).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 try:
     import yaml

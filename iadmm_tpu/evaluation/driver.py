@@ -27,7 +27,6 @@ from functools import partial
 from typing import Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import ExperimentConfig
@@ -37,7 +36,6 @@ from ..scaling import scale_batch
 from ..types import init_state
 from ..solvers.step import get_cell, make_lstm_step, _schedules
 from ..solvers import rollouts as R
-from ..solvers import exact as exact_mod
 
 
 def _fetch(x) -> float:

@@ -16,7 +16,6 @@ scaling in n, where A0 in BCOO form cuts HBM traffic by the density factor.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

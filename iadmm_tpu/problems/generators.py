@@ -18,7 +18,7 @@ Conventions preserved from the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

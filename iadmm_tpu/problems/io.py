@@ -12,7 +12,7 @@ from __future__ import annotations
 import gzip
 import os
 import pickle
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ import dataclasses
 import os
 import time
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
