@@ -141,6 +141,21 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
         return R.eval_stage2(st, data_orig, data_orig, None, sigma,
                              rho_vec, cfg.feas_rest_num)
 
+    # Warm-up: compile the eval programs on the first batch untimed, so
+    # "Parallel Time" measures execution, not XLA compilation (the torch
+    # reference is eager and pays no compile inside its timed region).
+    warm = to_qp_batch(ds, test_ids[:bs])
+    if mesh is not None:
+        warm = dist.shard_batch(warm, mesh)
+    if cfg.scaling:
+        w_scaled, w_sc = scale_jit(warm)
+        w_st, _ = eval_batch(params, w_scaled, warm, w_sc)
+    else:
+        w_st, _ = eval_batch_noscale(params, warm)
+    if cfg.feas_rest:
+        stage2_batch(params, w_st, warm, w_sc if cfg.scaling else None)
+    _fetch(w_st.x)
+
     traces: List[Dict] = []
     s2_traces: List[Dict] = []
     xs: List[np.ndarray] = []
