@@ -73,6 +73,13 @@ def load_dataset(root: str, prob_type: str, num_var: int = 0,
         d = os.path.join(root, f"QPLIB_{qplib_num}")
         return load_reference_gz_dir(d, f"qplib_{qplib_num}",
                                      range(data_size))
+    if prob_type.startswith("MM_"):
+        # Maros-Mészáros perturbation families: ./datasets/MM_<NAME>/ with
+        # per-instance '<name_lowercase>_<i>.gz' (reference: main.py:118-167,
+        # 215-229, e.g. MM_MOSARQP2 -> mosarqp2_<i>.gz)
+        d = os.path.join(root, prob_type)
+        return load_reference_gz_dir(d, prob_type[3:].lower(),
+                                     range(data_size))
     path = dataset_path(root, prob_type, num_var, num_ineq, num_eq)
     if os.path.exists(path):
         return load_npz(path)

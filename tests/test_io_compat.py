@@ -92,3 +92,25 @@ def test_qplib_loader(tmp_path):
     from iadmm_tpu.config import ExperimentConfig
     cfg = ExperimentConfig(prob_type="QPLIB", qplib_num=8845)
     assert cfg.run_name().startswith("QPLIB_8845")
+
+
+def test_maros_meszaros_loader(tmp_path):
+    """MM_* families load from the reference's <name>_<i>.gz layout
+    (reference: main.py:118-167, 215-229)."""
+    import gzip, pickle
+    rng = np.random.default_rng(5)
+    n, m = 4, 3
+    d = tmp_path / "MM_MOSARQP2"
+    d.mkdir()
+    for i in range(2):
+        inst = {"Q": np.diag(rng.random(n)), "p": rng.random((n, 1)),
+                "A0": rng.standard_normal((m, n)),
+                "zl": rng.random((m, 1)), "zu": rng.random((m, 1)) + 1.0}
+        with gzip.open(d / f"mosarqp2_{i}.gz", "wb") as f:
+            pickle.dump(inst, f)
+    ds = io.load_dataset(str(tmp_path), "MM_MOSARQP2", data_size=2)
+    assert ds.Q.shape == (2, n, n)
+    from iadmm_tpu.config import ExperimentConfig
+    cfg = ExperimentConfig(prob_type="MM_MOSARQP2", outer_T=100,
+                           hidden_dim=800)
+    assert cfg.run_name() == "MM_MOSARQP2_100_800"
