@@ -58,6 +58,7 @@ class TestReport:
     test_size: int
     x_final: np.ndarray      # (N, n) final unscaled iterates
     baseline: Optional[Dict] = None
+    oracle_gap: Optional[Dict] = None  # vs stored ground-truth solutions
 
     def table(self, every: int = 1) -> str:
         """Per-iteration report table (reference: main.py:1117-1161)."""
@@ -192,6 +193,31 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
                                         axis=0) for k in vio_keys}
         return out
 
+    # Oracle gap: final iterates vs the stored ground-truth solutions
+    # (generate_data.py:85-92 labels; unused by the reference's own eval,
+    # SURVEY.md §4 — here they close the accuracy loop).
+    oracle_gap = None
+    if ds.x_opt is not None:
+        x_fin = np.concatenate(xs)
+        idx = test_ids
+        x_star = ds.x_opt[idx]
+        Q2 = (ds.Q[idx] if ds.Q.shape[0] > 1 else ds.Q
+              ).astype(np.float64) * 2.0
+        Q2 = np.broadcast_to(Q2, (len(idx),) + Q2.shape[1:])
+        p_ = ds.p[idx] if ds.p.shape[0] > 1 else ds.p
+        obj = 0.5 * np.einsum("bi,bij,bj->b", x_fin, Q2, x_fin) \
+            + np.einsum("bi,bi->b", np.broadcast_to(p_, x_fin.shape), x_fin)
+        obj_star = 0.5 * np.einsum("bi,bij,bj->b", x_star, Q2, x_star) \
+            + np.einsum("bi,bi->b", np.broadcast_to(p_, x_star.shape),
+                        x_star)
+        oracle_gap = dict(
+            x_dist_mean=float(np.linalg.norm(x_fin - x_star, axis=-1)
+                              .mean()),
+            obj_gap_mean=float(np.abs(obj - obj_star).mean()),
+            obj_gap_rel=float((np.abs(obj - obj_star)
+                               / np.maximum(np.abs(obj_star), 1e-9))
+                              .mean()))
+
     a = avg(traces)
     stage2 = None
     if s2_traces:
@@ -202,9 +228,14 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
     report = TestReport(**a, stage2=stage2, total_time=total_time,
                         parallel_time=total_time / len(test_ids),
                         test_size=len(test_ids),
-                        x_final=np.concatenate(xs))
+                        x_final=np.concatenate(xs),
+                        oracle_gap=oracle_gap)
     if verbose:
         print(report.table(every=max(T // 20, 1)))
+        if oracle_gap is not None:
+            print(f"Oracle gap: |x-x*| {oracle_gap['x_dist_mean']:.4f} | "
+                  f"obj gap {oracle_gap['obj_gap_mean']:.4f} "
+                  f"({oracle_gap['obj_gap_rel'] * 100:.2f}% rel)")
         print(f"Total Time {total_time:.4f}s | "
               f"Parallel Time {report.parallel_time:.6f}s/instance | "
               f"test size {len(test_ids)}")

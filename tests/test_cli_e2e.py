@@ -56,3 +56,25 @@ def test_mat_export(tmp_path):
     export_traces(rep, path)
     m = scipy.io.loadmat(path)
     assert m["objs"].size == 4 and m["x"].shape == (10, 3)
+
+
+def test_oracle_gap_reporting(tmp_path):
+    """run_test reports distance to stored ground-truth solutions."""
+    import jax
+    from iadmm_tpu.config import ExperimentConfig
+    from iadmm_tpu.evaluation.driver import run_test
+    from iadmm_tpu.problems import generators, oracle
+    from iadmm_tpu.solvers.cells import lstm_init
+
+    ds = generators.generate("QP", num_var=10, num_ineq=5, num_eq=5,
+                             data_size=8, seed=6)
+    oracle.label_dataset(ds, eps=1e-6)
+    cfg = ExperimentConfig(prob_type="QP", num_var=10, num_ineq=5,
+                           num_eq=5, data_size=8, hidden_dim=8, outer_T=3,
+                           test_outer_T=3, test_batch_size=4, val_frac=0.0,
+                           test_frac=1.0, feas_rest=True, feas_rest_num=30)
+    params = lstm_init(jax.random.PRNGKey(0), 2, 8, 3)
+    rep = run_test(cfg, ds, params, verbose=False)
+    assert rep.oracle_gap is not None
+    # 30 exact Stage-II steps from a random start must land near x*
+    assert rep.oracle_gap["x_dist_mean"] < 0.3
