@@ -63,6 +63,7 @@ def main():
         train_history=res.history,
         final_primal_res=float(rep.primal_res[-1]),
         final_dual_res=float(rep.dual_res[-1]),
+        oracle_gap=rep.oracle_gap,
         parallel_time=rep.parallel_time,
         primal_res_curve=[float(v) for v in rep.primal_res],
         dual_res_curve=[float(v) for v in rep.dual_res],
