@@ -62,6 +62,8 @@ class ExperimentConfig:
     test_batch_size: int = 1
     feas_rest: bool = False
     feas_rest_num: int = 20
+    stage2_rho: float = 0.0         # 0 = last learned rho (reference parity,
+                                    # main.py:882,1061); >0 = fixed rho_bar
     save_sol: bool = False
 
     # --- TPU-native additions (no reference counterpart) ---

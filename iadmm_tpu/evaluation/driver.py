@@ -27,6 +27,7 @@ from functools import partial
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import ExperimentConfig
@@ -135,8 +136,15 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
     @jax.jit
     def stage2_batch(params, st, data_orig, scaling):
         # Stage II runs in ORIGINAL space with the last learned rho_vec
-        # (reference: main.py:1017-1064).
-        rho_vec, _ = _schedules(params, T - 1, data_orig.eq_mask)
+        # (reference: main.py:1017-1064); cfg.stage2_rho > 0 overrides with
+        # a fixed rho_bar (an untrained/early-training learned rho can make
+        # the exact polish's dual convergence needlessly slow).
+        if cfg.stage2_rho > 0:
+            from ..solvers.step import rho_vector
+            rho_vec = rho_vector(jnp.float32(cfg.stage2_rho),
+                                 data_orig.eq_mask)
+        else:
+            rho_vec, _ = _schedules(params, T - 1, data_orig.eq_mask)
         if scaling is not None:
             st = R.unscale_state(st, scaling)
         return R.eval_stage2(st, data_orig, data_orig, None, sigma,

@@ -78,3 +78,28 @@ def test_oracle_gap_reporting(tmp_path):
     assert rep.oracle_gap is not None
     # 30 exact Stage-II steps from a random start must land near x*
     assert rep.oracle_gap["x_dist_mean"] < 0.3
+
+
+def test_stage2_rho_override():
+    """A fixed Stage-II rho converges the dual residual where a bad learned
+    rho would not."""
+    import jax
+    from iadmm_tpu.config import ExperimentConfig
+    from iadmm_tpu.evaluation.driver import run_test
+    from iadmm_tpu.problems import generators
+    from iadmm_tpu.solvers.cells import lstm_init
+
+    ds = generators.generate("QP", num_var=10, num_ineq=5, num_eq=5,
+                             data_size=8, seed=2)
+    base = dict(prob_type="QP", num_var=10, num_ineq=5, num_eq=5,
+                data_size=8, hidden_dim=8, outer_T=3, test_outer_T=3,
+                test_batch_size=4, val_frac=0.0, test_frac=1.0,
+                feas_rest=True, feas_rest_num=60)
+    params = lstm_init(jax.random.PRNGKey(0), 2, 8, 3)
+    # poison the learned rho: sigmoid(-12) ~ 6e-6 -> glacial dual updates
+    params["rho"] = params["rho"] - 12.0
+    rep_bad = run_test(ExperimentConfig(**base), ds, params, verbose=False)
+    rep_fix = run_test(ExperimentConfig(stage2_rho=0.1, **base), ds,
+                       params, verbose=False)
+    assert rep_fix.stage2.dual_res[-1] < rep_bad.stage2.dual_res[-1] * 0.5
+    assert rep_fix.stage2.primal_res[-1] < 1e-2
