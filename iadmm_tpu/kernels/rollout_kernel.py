@@ -196,9 +196,10 @@ def fused_rollout(params: Dict, data: QPBatch, *, hidden: int, K: int,
     S = n + m
     if token_tile:
         TS = token_tile
-    elif S * 4 * hidden * 4 <= 32 * 1024 * 1024:
+    elif S * 4 * hidden * 4 <= 48 * 1024 * 1024:
         # single tile: no inner loop / dynamic slices — an order of
-        # magnitude faster Mosaic compile at flagship shapes (24 min -> ~1)
+        # magnitude faster Mosaic compile at flagship shapes (24 min -> ~1).
+        # 48 MB gate scratch covers the QP_1500 workload (S=3072, h=800).
         TS = S
     else:
         TS = 512 if S % 512 == 0 else 256 if S % 256 == 0 else 128
@@ -279,7 +280,7 @@ def fused_rollout(params: Dict, data: QPBatch, *, hidden: int, K: int,
             pltpu.VMEM((1, m), jnp.float32),        # z
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * (S_pad * (hidden + 2) * 4 * hidden
                                + 4 * (n * n + 2 * m * n)),
