@@ -253,8 +253,10 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
         preloaded = {"orig": orig_all, "scaled": scaled_all, "d": d_all}
 
     # Whole-epoch compiled scan (one dispatch per epoch) when preloaded.
+    # Only worth the larger compile when there are enough batches for the
+    # per-batch dispatch latency to matter.
     epoch_fn = data_stack = None
-    if preloaded is not None:
+    if preloaded is not None and n_batches >= 8:
         stripped = dataclasses.replace(preloaded["scaled"], G=None, c=None,
                                        A=None, b=None, lb=None, ub=None)
         data_stack = jax.tree.map(
