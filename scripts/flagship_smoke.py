@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--hidden", type=int, default=800)
     ap.add_argument("--outer_T", type=int, default=100)
     ap.add_argument("--out", default="results/flagship_smoke.json")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the run-keyed checkpoint")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +53,8 @@ def main():
         batch_size=2, test_batch_size=4, lr=5e-5, sigma=6e-6,
         num_epoch=args.epochs, val_frac=0.1, test_frac=0.1, eq_tol=1e9,
         scaling=True, use_pallas=True, gate_dtype="bfloat16",
-        matvec_mode="bf16", save_dir="results/flagship_smoke")
+        matvec_mode="bf16", resume=args.resume,
+        save_dir="results/flagship_smoke")
     t0 = time.time()
     res = harness.train(cfg, ds, verbose=True)
     t_train = time.time() - t0
