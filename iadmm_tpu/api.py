@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from .types import QPBatch, IterState, init_state
 from .scaling import scale_batch
-from .solvers.step import get_cell, make_lstm_step, _schedules
+from .solvers.step import (get_cell, make_lstm_step, _schedules,
+                           check_schedule_len)
 from .solvers.rollouts import rollout, unscale_state
 from .solvers import exact as exact_mod
 from .evaluation import metrics
@@ -49,6 +50,7 @@ def make_solver(params: Dict, *, hidden_dim: int, num_iters: int,
     (Q/A0/state VMEM-resident; TPU-only, bf16 profile) — the fastest
     serving path.
     """
+    check_schedule_len(params, num_iters)
     if model_name == "lstm" and (use_pallas or matvec_mode):
         step_fn = make_lstm_step(use_pallas=use_pallas,
                                  gate_dtype=gate_dtype,

@@ -26,7 +26,10 @@ def config_parser(description: str) -> argparse.ArgumentParser:
     for f in dataclasses.fields(ExperimentConfig):
         arg = f"--{f.name}"
         if f.type in ("bool", bool):
-            p.add_argument(arg, default=None,
+            # nargs='?' + const=True lets bare '--feas_rest' work like the
+            # reference's store_true flags while still accepting an explicit
+            # '--feas_rest false' (ADVICE round 1).
+            p.add_argument(arg, default=None, nargs="?", const=True,
                            type=lambda s: s.lower() in ("1", "true", "yes"),
                            help=f"(bool, default {f.default})")
         else:

@@ -74,6 +74,9 @@ class ExperimentConfig:
     remat: bool = False             # jax.checkpoint each step in TBPTT chunks
     resume: bool = False            # resume training from the run checkpoint
     preload: str = "auto"           # train split on device once: auto|always|never
+    preload_dtype: str = "float32"  # Q/A0 storage for the preloaded stack;
+                                    # 'bfloat16' halves resident HBM (pairs
+                                    # with matvec_mode='bf16')
     log_every: int = 1
 
     def run_name(self) -> str:
@@ -91,6 +94,10 @@ class ExperimentConfig:
             core = f"{pt}_{self.num_var}_{self.num_ineq}"
         elif pt == "QPLIB":
             core = f"QPLIB_{self.qplib_num}"
+        elif pt == "Portfolio":
+            core = f"{pt}_{self.num_var}_{self.num_ineq}"
+        elif pt.startswith("MM_"):
+            core = f"{pt}_{self.num_var}"
         else:
             core = pt
         return f"{core}_{self.outer_T}_{self.hidden_dim}"

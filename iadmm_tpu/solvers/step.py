@@ -292,6 +292,21 @@ CELL_REGISTRY: Dict[str, SolverCellSpec] = {
 }
 
 
+def check_schedule_len(params: Dict, num_iters: int) -> None:
+    """Fail fast when a rollout asks for more iterations than the learned
+    per-iteration schedules cover.  JAX's out-of-bounds gather semantics
+    would otherwise silently clamp ``params['rho'][t]`` to the last entry
+    (the reference raises an IndexError here); a misconfigured
+    ``test_outer_T > outer_T`` must be an error, not a silent reuse of the
+    final learned schedule."""
+    for k in ("rho", "alpha"):
+        if k in params and len(params[k]) < num_iters:
+            raise ValueError(
+                f"schedule params[{k!r}] has length {len(params[k])} but the "
+                f"rollout needs {num_iters} iterations (test_outer_T must "
+                f"not exceed the trained outer_T)")
+
+
 def get_cell(name: str) -> SolverCellSpec:
     key = name.lower()
     if key not in CELL_REGISTRY:

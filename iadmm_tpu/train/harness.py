@@ -17,6 +17,18 @@ Faithful TPU re-design of the reference's training driver
     unscaled objective/violation metrics (reference: main.py:382-534), with
     the val set loaded ONCE (the reference re-reads it from disk every
     epoch, reference: main.py:384-465 — fixed).
+
+Memory design for full-dataset training (data_size=1000 at flagship shapes):
+only the **scaled** train split lives in HBM — one copy, written chunk-wise
+with buffer donation so the peak never holds two copies.  All reported
+metrics are recovered from the Ruiz vectors instead of keeping the original
+data resident: with x̄ the scaled iterate and (d, e, cost) the factors,
+
+    obj_orig(x) = obj_scaled(x̄) / cost        (x = d·x̄)
+
+since Q̄ = cost·D Q D, p̄ = cost·D p.  Shared-data families (QP_RHS: one
+(Q, p, A0) for every instance, reference generate_data.py:31-61) keep the
+shared leaves un-stacked, so the full 1000-instance split is a few MB.
 """
 
 from __future__ import annotations
@@ -36,8 +48,8 @@ from ..config import ExperimentConfig
 from ..problems.generators import RawDataset
 from ..problems.io import to_qp_batch, split_ids
 from ..scaling import scale_batch
-from ..types import IterState, init_state
-from ..solvers.step import get_cell
+from ..types import IterState, QPBatch, init_state
+from ..solvers.step import get_cell, check_schedule_len
 from ..solvers.rollouts import chunk_loss, rollout
 from ..evaluation import metrics
 from .early_stopping import EarlyStopping
@@ -73,23 +85,37 @@ def make_train_chunk(step_fn, optimizer, outer_T: int, chunk_len: int,
     return train_chunk
 
 
+def _index_batch(a: jax.Array, bi, batch_size: int) -> jax.Array:
+    """Select batch ``bi`` from a stacked leaf.  Shared leaves (leading dim
+    1, QP_RHS family) are broadcast to the batch size — XLA fuses the
+    broadcast into the consuming matmuls, nothing is materialized."""
+    sub = a[0] if a.shape[0] == 1 else a[bi]
+    if sub.shape[0] == 1 and batch_size > 1:
+        sub = jnp.broadcast_to(sub, (batch_size,) + sub.shape[1:])
+    return sub
+
+
 def make_train_epoch(step_fn, optimizer, outer_T: int, chunk_len: int,
                      sigma: float, batch_size: int, hidden_dim: int,
-                     remat: bool = False):
+                     n_batches: int, remat: bool = False):
     """Whole-epoch update as ONE compiled scan over batches.
 
     With the train split preloaded on device, the only remaining per-batch
     cost is dispatch latency (25+ ms/call on a tunnelled backend).  Scanning
-    over the stacked (n_batches, B, ...) data pytree collapses an epoch to a
-    single dispatch; the TBPTT chunks are statically unrolled inside the
-    scan body (n_chunks is small).  Optimizer updates stay *per chunk*,
-    matching the reference's in-rollout stepping (main.py:336-358)."""
+    over the batch index (each leaf dynamic-sliced inside the body — the
+    same lowering as scan-xs, but it admits shared un-stacked leaves)
+    collapses an epoch to a single dispatch; the TBPTT chunks are statically
+    unrolled inside the scan body (n_chunks is small).  Optimizer updates
+    stay *per chunk*, matching the reference's in-rollout stepping
+    (main.py:336-358)."""
     n_chunks = outer_T // chunk_len
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_epoch(params, opt_state, data_stack):
-        def per_batch(carry, data):
+    def train_epoch(params, opt_state, stacked: QPBatch):
+        def per_batch(carry, bi):
             params, opt_state = carry
+            data = jax.tree.map(
+                lambda a: _index_batch(a, bi, batch_size), stacked)
             st = init_state(batch_size, data.num_var, data.num_constr,
                             hidden_dim, dtype=data.p.dtype)
             loss = jnp.zeros((), data.p.dtype)
@@ -108,7 +134,7 @@ def make_train_epoch(step_fn, optimizer, outer_T: int, chunk_len: int,
             return (params, opt_state), (loss, st.x)
 
         (params, opt_state), (losses, xs) = jax.lax.scan(
-            per_batch, (params, opt_state), data_stack)
+            per_batch, (params, opt_state), jnp.arange(n_batches))
         # xs[-1]: final-batch iterate for the reference's last-batch train
         # metrics (main.py:362-379)
         return params, opt_state, losses, xs[-1]
@@ -118,20 +144,170 @@ def make_train_epoch(step_fn, optimizer, outer_T: int, chunk_len: int,
 
 def make_val_fn(step_fn, outer_T: int, sigma: float, hidden_dim: int):
     """Jitted full-rollout validation: returns (val_obj, violations dict)
-    computed in original space (reference: main.py:503-534)."""
+    in ORIGINAL space (reference: main.py:503-534), recovered from the
+    scaling vectors — the objective is the scaled objective / cost, the
+    violations use the (never-scaled) metric views against d·x̄."""
 
     @jax.jit
-    def val_fn(params, data_scaled, data_orig, d_scaling):
+    def val_fn(params, data_scaled, scaling):
         B = data_scaled.p.shape[0]
         st = init_state(B, data_scaled.num_var, data_scaled.num_constr,
                         hidden_dim, dtype=data_scaled.p.dtype)
         st = rollout(step_fn, params, st, data_scaled, sigma, outer_T)
-        x = st.x if d_scaling is None else d_scaling * st.x
-        obj = metrics.obj_fn(x, data_orig.Q, data_orig.p).mean()
-        vios = metrics.violation_stats(x, data_orig)
-        return obj, vios
+        obj = metrics.obj_fn(st.x, data_scaled.Q, data_scaled.p)
+        if scaling is not None:
+            obj = obj / scaling.cost
+            x = scaling.d * st.x
+        else:
+            x = st.x
+        vios = metrics.violation_stats(x, data_scaled)
+        return obj.mean(), vios
 
     return val_fn
+
+
+# ---------------------------------------------------------------------------
+# Scaled-only device preload
+# ---------------------------------------------------------------------------
+
+_SOLVER_FIELDS = ("Q", "p", "A0", "zl", "zu")
+
+
+def train_stack_bytes(ds: RawDataset, n_used: int,
+                      dtype_bytes: int = 4) -> int:
+    """Device bytes of the scaled-only train stack (one copy; shared leaves
+    counted once — QP_RHS stores a single (Q, p, A0))."""
+    total = 0
+    for name in _SOLVER_FIELDS:
+        a = getattr(ds, name)
+        lead = 1 if a.shape[0] == 1 else n_used
+        total += dtype_bytes * lead * int(np.prod(a.shape[1:]))
+    total += n_used * ds.zl.shape[-1]  # eq_mask (bool)
+    return total
+
+
+def device_memory_budget(default: float = 4e9, frac: float = 0.6) -> float:
+    """HBM budget for the preload: a fraction of the device memory limit
+    (leaving room for activations + the val set), with a conservative
+    fallback when the backend doesn't report one."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit")
+        if limit:
+            return frac * float(limit)
+    except Exception:
+        pass
+    return default
+
+
+def preload_train_stack(ds: RawDataset, ids: np.ndarray, n_batches: int,
+                        batch_size: int, cfg: ExperimentConfig, scale_jit,
+                        mesh=None):
+    """Build the on-device (n_batches, B, ...)-stacked **scaled** train
+    split, one chunk at a time with buffer donation so peak HBM stays at
+    ~one copy (+ one chunk).
+
+    Returns ``(stacked, cost_stack)``: ``stacked`` is a QPBatch whose
+    per-instance leaves are (n_batches, B, ...) and whose shared leaves
+    (QP_RHS) are (1, 1, ...); ``cost_stack`` is the per-instance Ruiz cost
+    factor (or None when scaling is off), for unscaling the reported
+    objective.  Q/A0 are stored in ``cfg.preload_dtype`` — ``bfloat16``
+    halves the resident bytes and matches the bf16 matvec profile."""
+    B = batch_size
+    n_used = n_batches * B
+    store_dtype = jnp.bfloat16 if cfg.preload_dtype == "bfloat16" \
+        else jnp.float32
+    shared = {k: getattr(ds, k).shape[0] == 1 for k in _SOLVER_FIELDS}
+
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P(None, "data"))
+
+    def maybe_shard(a):
+        return a if sharding is None else jax.device_put(a, sharding)
+
+    # Shared-data fast path (QP_RHS): scale one representative instance;
+    # d/e/cost depend only on (Q, p, A0) so they are shared too, and the
+    # per-instance zl/zu scale by the shared e vector.
+    e_shared = cost_shared = None
+    shared_leaves: Dict[str, jax.Array] = {}
+    if shared["Q"] and shared["p"] and shared["A0"]:
+        one = to_qp_batch(ds, np.asarray(ids[:1]), with_metric_views=False)
+        if cfg.scaling:
+            sc_one, st_one = scale_jit(one)
+            e_shared, cost_shared = st_one.e, st_one.cost  # (1, m), (1,)
+            src = sc_one
+        else:
+            src = one
+        for k in ("Q", "p", "A0"):
+            v = getattr(src, k)
+            if k in ("Q", "A0"):
+                v = v.astype(store_dtype)
+            shared_leaves[k] = v[None]  # (1, 1, ...)
+
+    # Allocate the stacked buffer (zeros) for the per-instance leaves.
+    n, m = ds.Q.shape[-1], ds.A0.shape[-2]
+    spec = {"zl": ((n_batches, B, m), jnp.float32),
+            "zu": ((n_batches, B, m), jnp.float32),
+            "eq_mask": ((n_batches, B, m), jnp.bool_)}
+    if not shared_leaves:
+        spec.update({"Q": ((n_batches, B, n, n), store_dtype),
+                     "p": ((n_batches, B, n), jnp.float32),
+                     "A0": ((n_batches, B, m, n), store_dtype)})
+        if cfg.scaling:
+            spec["cost"] = ((n_batches, B), jnp.float32)
+            spec["d"] = ((n_batches, B, n), jnp.float32)
+    buf = {k: maybe_shard(jnp.zeros(s, d)) for k, (s, d) in spec.items()}
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def write(buf, chunk, start):
+        zero = jnp.zeros((), start.dtype)
+        return {k: jax.lax.dynamic_update_slice(
+            buf[k], chunk[k].astype(buf[k].dtype),
+            (start,) + (zero,) * (buf[k].ndim - 1)) for k in buf}
+
+    cb = max(1, min(n_batches, 64 // B or 1))  # batches per chunk
+    for s in range(0, n_batches, cb):
+        nb = min(cb, n_batches - s)
+        sl = ids[s * B:(s + nb) * B]
+        orig = to_qp_batch(ds, np.asarray(sl), with_metric_views=False)
+        chunk: Dict[str, jax.Array] = {}
+        if shared_leaves:
+            if cfg.scaling:
+                zl, zu = e_shared * orig.zl, e_shared * orig.zu
+            else:
+                zl, zu = orig.zl, orig.zu
+            chunk = dict(zl=zl, zu=zu, eq_mask=orig.eq_mask)
+        else:
+            if cfg.scaling:
+                scd, st = scale_jit(orig)
+                chunk = dict(Q=scd.Q, p=scd.p, A0=scd.A0, zl=scd.zl,
+                             zu=scd.zu, eq_mask=scd.eq_mask,
+                             d=st.d, cost=st.cost)
+            else:
+                chunk = dict(Q=orig.Q, p=orig.p, A0=orig.A0, zl=orig.zl,
+                             zu=orig.zu, eq_mask=orig.eq_mask)
+        chunk = {k: maybe_shard(v.reshape((nb, B) + v.shape[1:]))
+                 for k, v in chunk.items() if k in buf}
+        buf = write(buf, chunk, jnp.asarray(s, jnp.int32))
+
+    cost_stack = None
+    if cfg.scaling:
+        cost_stack = buf.pop("cost", None)
+        buf.pop("d", None)
+        if cost_stack is None and cost_shared is not None:
+            cost_stack = cost_shared[None]  # (1, 1)
+    else:
+        buf.pop("cost", None), buf.pop("d", None)
+
+    stacked = QPBatch(
+        Q=shared_leaves.get("Q", buf.get("Q")),
+        p=shared_leaves.get("p", buf.get("p")),
+        A0=shared_leaves.get("A0", buf.get("A0")),
+        zl=buf["zl"], zu=buf["zu"], eq_mask=buf["eq_mask"])
+    return stacked, cost_stack
 
 
 @dataclasses.dataclass
@@ -189,13 +365,12 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     val_fn = make_val_fn(step_fn, cfg.outer_T, cfg.sigma, cfg.hidden_dim)
     scale_jit = jax.jit(partial(scale_batch, iters=cfg.scaling_ites))
 
-    # Val set: load once, scale once.
-    val_orig = to_qp_batch(ds, val_ids)
+    # Val set: load once, scale once; only the scaled copy (plus the
+    # never-scaled metric views it shares with the original) is kept.
+    val_scaled = to_qp_batch(ds, val_ids)
+    val_sc = None
     if cfg.scaling:
-        val_scaled, val_sc = scale_jit(val_orig)
-        val_d = val_sc.d
-    else:
-        val_scaled, val_d = val_orig, None
+        val_scaled, val_sc = scale_jit(val_scaled)
 
     ckpt_path = ckpt.checkpoint_path(cfg.save_dir, cfg.model_name,
                                      cfg.run_name())
@@ -204,6 +379,7 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     # Epoch-level resume (the reference only ever saves, never resumes
     # training, SURVEY.md §5 checkpoint row).
     start_epoch = 0
+    resumed_best = None
     if cfg.resume and os.path.exists(ckpt_path):
         payload = ckpt.load_checkpoint(ckpt_path)
         params = jax.tree.map(jnp.asarray, payload["params"])
@@ -213,8 +389,10 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                 [jnp.asarray(l) for l in
                  jax.tree_util.tree_leaves(payload["opt_state"])])
         start_epoch = int(payload.get("epoch", 0)) + 1
+        resumed_best = payload.get("best")  # {'val_obj':..., 'counter':...}
         if verbose:
             print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+    check_schedule_len(params, cfg.outer_T)
 
     def save_best():
         # Host copy: the live `params` buffers are donated into the next
@@ -222,9 +400,18 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
         best["params"] = jax.tree.map(np.asarray, params)
         ckpt.save_checkpoint(ckpt_path, {
             "params": best["params"], "opt_state": opt_state,
-            "epoch": best.get("epoch", 0), "config": cfg.to_dict()})
+            "epoch": best.get("epoch", 0),
+            "best": {"val_obj": stopper.best_loss,
+                     "counter": stopper.counter},
+            "config": cfg.to_dict()})
 
     stopper = EarlyStopping(patience=cfg.patience, save_fn=save_best)
+    if resumed_best:
+        # Restore the gate state so the first in-tolerance epoch after a
+        # resume can't overwrite a strictly better pre-resume checkpoint
+        # (ADVICE round 1).
+        stopper.best_loss = resumed_best.get("val_obj")
+        stopper.counter = int(resumed_best.get("counter", 0))
     n_batches = len(train_ids) // cfg.batch_size
     n_chunks = cfg.outer_T // cfg.truncated_length
     history = []
@@ -234,53 +421,53 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
         params = dist.replicate(params, mesh)
         opt_state = dist.replicate(opt_state, mesh)
 
-    # Preload + pre-scale the whole train split on device ONCE.  The
-    # reference re-reads, re-transfers, and re-scales every batch every
-    # epoch (main.py:198-310); scaling is deterministic per instance so all
-    # of that is loop-invariant.  "auto" preloads when it fits in HBM.
-    preloaded = None
+    # Preload + pre-scale the whole train split on device ONCE (scaled-only,
+    # chunk-written — see module docstring).  The reference re-reads,
+    # re-transfers, and re-scales every batch every epoch (main.py:198-310);
+    # scaling is deterministic per instance so all of that is loop-invariant.
+    # "auto" preloads when one copy fits the HBM budget.
     n_used = n_batches * cfg.batch_size
-    train_bytes = 4 * n_used * (ds.Q.shape[-1] ** 2
-                                + 2 * ds.A0.shape[-2] * ds.A0.shape[-1])
-    if mesh is None and (cfg.preload == "always" or
-                         (cfg.preload == "auto" and train_bytes < 4e9)):
-        orig_all = to_qp_batch(ds, train_ids[:n_used])
-        if cfg.scaling:
-            scaled_all, sc_all = scale_jit(orig_all)
-            d_all = sc_all.d
-        else:
-            scaled_all, d_all = orig_all, None
-        preloaded = {"orig": orig_all, "scaled": scaled_all, "d": d_all}
+    stacked = cost_stack = None
+    dtype_bytes = 2 if cfg.preload_dtype == "bfloat16" else 4
+    train_bytes = train_stack_bytes(ds, n_used, dtype_bytes)
+    if cfg.preload == "always" or (cfg.preload == "auto" and
+                                   train_bytes < device_memory_budget()):
+        stacked, cost_stack = preload_train_stack(
+            ds, train_ids[:n_used], n_batches, cfg.batch_size, cfg,
+            scale_jit, mesh=mesh)
+        if verbose:
+            print(f"preloaded train split: {train_bytes / 1e9:.2f} GB "
+                  f"scaled-only on device")
 
     # Whole-epoch compiled scan (one dispatch per epoch) when preloaded.
     # Only worth the larger compile when there are enough batches for the
     # per-batch dispatch latency to matter.
-    epoch_fn = data_stack = None
-    if preloaded is not None and n_batches >= 8:
-        stripped = dataclasses.replace(preloaded["scaled"], G=None, c=None,
-                                       A=None, b=None, lb=None, ub=None)
-        data_stack = jax.tree.map(
-            lambda a: a.reshape((n_batches, cfg.batch_size) + a.shape[1:]),
-            stripped)
+    epoch_fn = None
+    if stacked is not None and n_batches >= 8:
         epoch_fn = make_train_epoch(step_fn, optimizer, cfg.outer_T,
                                     cfg.truncated_length, cfg.sigma,
                                     cfg.batch_size, cfg.hidden_dim,
-                                    remat=cfg.remat)
+                                    n_batches, remat=cfg.remat)
+
+    @jax.jit
+    def last_batch_obj(x_last, stacked, cost_stack):
+        Q = _index_batch(stacked.Q, n_batches - 1, cfg.batch_size)
+        p = _index_batch(stacked.p, n_batches - 1, cfg.batch_size)
+        obj = metrics.obj_fn(x_last, Q, p)
+        if cost_stack is not None:
+            obj = obj / _index_batch(cost_stack, n_batches - 1,
+                                     cfg.batch_size)
+        return obj.mean()
 
     for epoch in range(start_epoch, cfg.num_epoch):
         t_start = time.time()
         if epoch_fn is not None:
             params, opt_state, losses, x_last = epoch_fn(params, opt_state,
-                                                         data_stack)
+                                                         stacked)
             loss = losses[-1]
-            sl = slice((n_batches - 1) * cfg.batch_size,
-                       n_batches * cfg.batch_size)
-            data_orig = jax.tree.map(lambda a: a[sl], preloaded["orig"])
-            d_vec = (preloaded["d"][sl]
-                     if preloaded["d"] is not None else None)
-            x = x_last if d_vec is None else d_vec * x_last
+            train_obj_dev = last_batch_obj(x_last, stacked, cost_stack)
         else:
-            last_batch = None
+            last = None
             for bi in range(n_batches):
                 ids = train_ids[bi * cfg.batch_size:
                                 (bi + 1) * cfg.batch_size]
@@ -289,9 +476,9 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                     data_orig = dist.shard_batch(data_orig, mesh)
                 if cfg.scaling:
                     data, sc = scale_jit(data_orig)
-                    d_vec = sc.d
+                    d_vec, cost = sc.d, sc.cost
                 else:
-                    data, d_vec = data_orig, None
+                    data, d_vec, cost = data_orig, None, None
                 st = init_state(cfg.batch_size, data.num_var,
                                 data.num_constr, cfg.hidden_dim)
                 if mesh is not None:
@@ -300,18 +487,22 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                     t0 = jnp.asarray(ci * cfg.truncated_length, jnp.int32)
                     params, opt_state, st, loss = train_chunk(
                         params, opt_state, st, data, t0)
-                last_batch = (data_orig, st, d_vec, loss)
-            data_orig, st, d_vec, loss = last_batch
-            x = st.x if d_vec is None else d_vec * st.x
+                last = (data, st, cost, loss)
+            data, st, cost, loss = last
+            train_obj_dev = metrics.obj_fn(st.x, data.Q, data.p)
+            if cost is not None:
+                train_obj_dev = train_obj_dev / cost
+            train_obj_dev = train_obj_dev.mean()
         loss = float(loss)  # host fetch = epoch completion barrier
         t_train = time.time() - t_start
 
-        # Train metrics on the last batch, unscaled (reference: main.py:362-379).
-        train_obj = float(metrics.obj_fn(x, data_orig.Q, data_orig.p).mean())
+        # Train metrics on the last batch, unscaled via the cost vector
+        # (reference: main.py:362-379).
+        train_obj = float(train_obj_dev)
 
         # Validation.
         t_v = time.time()
-        val_obj, vios = val_fn(params, val_scaled, val_orig, val_d)
+        val_obj, vios = val_fn(params, val_scaled, val_sc)
         val_obj = float(val_obj)
         t_val = time.time() - t_v
         vio_maxes = [float(v) for k, v in vios.items() if k.endswith("_max")]

@@ -111,6 +111,8 @@ def test_maros_meszaros_loader(tmp_path):
     ds = io.load_dataset(str(tmp_path), "MM_MOSARQP2", data_size=2)
     assert ds.Q.shape == (2, n, n)
     from iadmm_tpu.config import ExperimentConfig
-    cfg = ExperimentConfig(prob_type="MM_MOSARQP2", outer_T=100,
+    cfg = ExperimentConfig(prob_type="MM_MOSARQP2", num_var=n, outer_T=100,
                            hidden_dim=800)
-    assert cfg.run_name() == "MM_MOSARQP2_100_800"
+    # num_var is part of the key so MM perturbation runs that differ only
+    # in size can't overwrite each other's checkpoints (VERDICT round 1).
+    assert cfg.run_name() == f"MM_MOSARQP2_{n}_100_800"
