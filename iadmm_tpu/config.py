@@ -77,6 +77,11 @@ class ExperimentConfig:
     preload_dtype: str = "float32"  # Q/A0 storage for the preloaded stack;
                                     # 'bfloat16' halves resident HBM (pairs
                                     # with matvec_mode='bf16')
+    train_hours: float = 0.0        # wall-clock training budget (0 = off);
+                                    # the gated best checkpoint is kept
+    train_backend: str = "step"     # 'fused' = whole-segment training
+                                    # megakernel (custom-VJP Pallas rollout,
+                                    # lstm model, single device)
     log_every: int = 1
 
     def run_name(self) -> str:

@@ -67,17 +67,21 @@ def make_optimizer(lr: float, weight_decay: float = 0.0):
 
 
 def make_train_chunk(step_fn, optimizer, outer_T: int, chunk_len: int,
-                     sigma: float, remat: bool = False):
-    """Build the jitted TBPTT chunk update."""
+                     sigma: float, remat: bool = False, loss_fn=None):
+    """Build the jitted TBPTT chunk update.
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_chunk(params, opt_state, state: IterState, data, t0):
-        def loss_fn(p):
+    ``loss_fn(params, state, data, t0) -> (loss, state')`` overrides the
+    scan-of-steps chunk loss (used to swap in the fused training megakernel,
+    kernels/train_rollout.py)."""
+    if loss_fn is None:
+        def loss_fn(p, state, data, t0):
             return chunk_loss(step_fn, p, state, data, sigma,
                               chunk_len, outer_T, t0, remat=remat)
 
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_chunk(params, opt_state, state: IterState, data, t0):
         (loss, new_state), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+            loss_fn, has_aux=True)(params, state, data, t0)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_state, loss
@@ -97,7 +101,7 @@ def _index_batch(a: jax.Array, bi, batch_size: int) -> jax.Array:
 
 def make_train_epoch(step_fn, optimizer, outer_T: int, chunk_len: int,
                      sigma: float, batch_size: int, hidden_dim: int,
-                     n_batches: int, remat: bool = False):
+                     n_batches: int, remat: bool = False, loss_fn=None):
     """Whole-epoch update as ONE compiled scan over batches.
 
     With the train split preloaded on device, the only remaining per-batch
@@ -109,6 +113,10 @@ def make_train_epoch(step_fn, optimizer, outer_T: int, chunk_len: int,
     stay *per chunk*, matching the reference's in-rollout stepping
     (main.py:336-358)."""
     n_chunks = outer_T // chunk_len
+    if loss_fn is None:
+        def loss_fn(p, st, data, t0):
+            return chunk_loss(step_fn, p, st, data, sigma,
+                              chunk_len, outer_T, t0, remat=remat)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_epoch(params, opt_state, stacked: QPBatch):
@@ -117,17 +125,12 @@ def make_train_epoch(step_fn, optimizer, outer_T: int, chunk_len: int,
             data = jax.tree.map(
                 lambda a: _index_batch(a, bi, batch_size), stacked)
             st = init_state(batch_size, data.num_var, data.num_constr,
-                            hidden_dim, dtype=data.p.dtype)
-            loss = jnp.zeros((), data.p.dtype)
+                            hidden_dim, dtype=jnp.float32)
+            loss = jnp.zeros((), jnp.float32)
             for ci in range(n_chunks):
                 t0 = jnp.asarray(ci * chunk_len, jnp.int32)
-
-                def loss_fn(p, st=st, t0=t0, data=data):
-                    return chunk_loss(step_fn, p, st, data, sigma,
-                                      chunk_len, outer_T, t0, remat=remat)
-
                 (loss, st), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
+                    loss_fn, has_aux=True)(params, st, data, t0)
                 updates, opt_state = optimizer.update(grads, opt_state,
                                                       params)
                 params = optax.apply_updates(params, updates)
@@ -359,9 +362,29 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     if verbose and mesh is not None:
         print(f"data-parallel over {ndev} devices")
 
+    # Fused training megakernel: the whole TBPTT segment (fwd + hand-derived
+    # bwd) runs VMEM-resident in two Pallas kernels (kernels/train_rollout).
+    fused_loss = None
+    if cfg.train_backend == "fused":
+        if cfg.model_name != "lstm":
+            raise ValueError("train_backend='fused' supports the lstm cell")
+        if mesh is None:
+            from ..kernels.train_rollout import make_fused_chunk_loss
+            fused_loss = make_fused_chunk_loss(
+                num_var=ds.Q.shape[-1], num_constr=ds.A0.shape[-2],
+                batch=cfg.batch_size, hidden=cfg.hidden_dim,
+                sigma=cfg.sigma, chunk_len=cfg.truncated_length,
+                outer_T=cfg.outer_T, K_total=cfg.outer_T,
+                compute_dtype="bfloat16" if cfg.matvec_mode == "bf16"
+                else "float32",
+                interpret=jax.default_backend() != "tpu")
+        elif verbose:
+            print("train_backend='fused' is single-device; using the step "
+                  "path under the data-parallel mesh")
+
     train_chunk = make_train_chunk(step_fn, optimizer, cfg.outer_T,
                                    cfg.truncated_length, cfg.sigma,
-                                   remat=cfg.remat)
+                                   remat=cfg.remat, loss_fn=fused_loss)
     val_fn = make_val_fn(step_fn, cfg.outer_T, cfg.sigma, cfg.hidden_dim)
     scale_jit = jax.jit(partial(scale_batch, iters=cfg.scaling_ites))
 
@@ -447,7 +470,8 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
         epoch_fn = make_train_epoch(step_fn, optimizer, cfg.outer_T,
                                     cfg.truncated_length, cfg.sigma,
                                     cfg.batch_size, cfg.hidden_dim,
-                                    n_batches, remat=cfg.remat)
+                                    n_batches, remat=cfg.remat,
+                                    loss_fn=fused_loss)
 
     @jax.jit
     def last_batch_obj(x_last, stacked, cost_stack):
@@ -459,7 +483,13 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                                      cfg.batch_size)
         return obj.mean()
 
+    t_begin = time.time()
     for epoch in range(start_epoch, cfg.num_epoch):
+        if cfg.train_hours and (time.time() - t_begin) > cfg.train_hours * 3600:
+            if verbose:
+                print(f"wall-clock budget ({cfg.train_hours}h) reached at "
+                      f"epoch {epoch}")
+            break
         t_start = time.time()
         if epoch_fn is not None:
             params, opt_state, losses, x_last = epoch_fn(params, opt_state,

@@ -1,0 +1,155 @@
+"""Canonical-workload runner: generate/load the full reference dataset,
+train to the tolerance-gated save point, evaluate, record BASELINE rows.
+
+One entry per published experiment of the reference
+(reference: scripts/Synthetic.sh:1-37; split protocol main.py:171-183 with
+val_frac=0.01 / test_frac=0.05 -> 940 train instances at data_size=1000).
+TPU fast profile (Pallas fused cell, bf16 gate/matvec) is the default;
+memory-bound variants opt into bf16 preload storage and/or remat.
+
+Usage:
+  python scripts/run_workload.py QP [--hours 3] [--epochs 400] [--resume]
+  python scripts/run_workload.py Equality_QP --hours 1.5
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+# family key -> (prob_type, sizes, rollout, model, gates, memory profile)
+WORKLOADS = {
+    "QP": dict(prob_type="QP", num_var=1000, num_ineq=500, num_eq=500,
+               outer_T=100, truncated_length=100, hidden_dim=800,
+               eq_tol=0.2, preload_dtype="bfloat16"),
+    "QP_1500": dict(prob_type="QP", num_var=1500, num_ineq=750, num_eq=750,
+                    outer_T=100, truncated_length=100, hidden_dim=800,
+                    eq_tol=0.2, preload_dtype="bfloat16", remat=True),
+    "QP_RHS": dict(prob_type="QP_RHS", num_var=1000, num_ineq=500,
+                   num_eq=500, outer_T=100, truncated_length=100,
+                   hidden_dim=400, eq_tol=0.2),
+    "QP_RHS_1500": dict(prob_type="QP_RHS", num_var=1500, num_ineq=750,
+                        num_eq=750, outer_T=150, truncated_length=150,
+                        hidden_dim=400, eq_tol=0.2, remat=True),
+    "Equality_QP": dict(prob_type="Equality_QP", num_var=1000, num_eq=500,
+                        outer_T=400, truncated_length=200, hidden_dim=200,
+                        eq_tol=0.5, remat=True),
+    "Random_QP": dict(prob_type="Random_QP", num_var=1000, num_ineq=2000,
+                      outer_T=600, truncated_length=150, hidden_dim=200,
+                      eq_tol=1.0, remat=True),
+    "SVM": dict(prob_type="SVM", num_var=1500, num_ineq=500, outer_T=50,
+                truncated_length=50, hidden_dim=800, eq_tol=0.01),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("family", choices=sorted(WORKLOADS))
+    ap.add_argument("--data_size", type=int, default=1000)
+    ap.add_argument("--epochs", type=int, default=2000)
+    ap.add_argument("--hours", type=float, default=3.0)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--feas_rest", action="store_true")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="evaluate the existing checkpoint only")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import iadmm_tpu as it
+    from iadmm_tpu.problems.io import load_dataset, dataset_path, save_npz
+    from iadmm_tpu.problems import generate, label_dataset
+    from iadmm_tpu.train import harness, checkpoint as ckpt
+    from iadmm_tpu.evaluation.driver import run_test
+
+    w = dict(WORKLOADS[args.family])
+    print("backend:", jax.default_backend(), "| workload:", args.family,
+          flush=True)
+
+    # Dataset: cached stacked .npz under ./datasets, generated + oracle-
+    # labeled once (reference: generate_data.py, eps=1e-4 protocol).
+    path = dataset_path("./datasets", w["prob_type"], w["num_var"],
+                        w.get("num_ineq", 0), w.get("num_eq", 0))
+    if not os.path.exists(path):
+        t0 = time.time()
+        ds = generate(w["prob_type"], num_var=w["num_var"],
+                      num_ineq=w.get("num_ineq", 0),
+                      num_eq=w.get("num_eq", 0),
+                      data_size=args.data_size, seed=17)
+        print(f"generated in {time.time() - t0:.1f}s", flush=True)
+        t0 = time.time()
+        ids = label_dataset(ds, eps=1e-4, verbose=True)
+        ds = ds.slice(np.asarray(ids))
+        print(f"labeled in {time.time() - t0:.1f}s", flush=True)
+        save_npz(ds, path)
+    ds = load_dataset("./datasets", w["prob_type"], w["num_var"],
+                      w.get("num_ineq", 0), w.get("num_eq", 0),
+                      data_size=args.data_size)
+    print(f"dataset: {ds.size} instances @ {path}", flush=True)
+
+    cfg = it.ExperimentConfig(
+        data_size=min(args.data_size, ds.size),
+        batch_size=2, lr=5e-5, sigma=6e-6, seed=17,
+        val_frac=0.01, test_frac=0.05, patience=100,
+        num_epoch=args.epochs, train_hours=args.hours,
+        test_outer_T=w["outer_T"], test_batch_size=10,
+        scaling=True, use_pallas=True, gate_dtype="bfloat16",
+        matvec_mode="bf16", resume=args.resume,
+        feas_rest=args.feas_rest, feas_rest_num=20,
+        save_dir="results/canonical", ineq_tol=w["eq_tol"],
+        **{k: v for k, v in w.items() if k != "ineq_tol"})
+
+    out_path = args.out or f"artifacts/{args.family}_full.json"
+    summary = dict(family=args.family, config=cfg.to_dict(),
+                   dataset=path, n_instances=int(ds.size))
+
+    if not args.skip_train:
+        t0 = time.time()
+        res = harness.train(cfg, ds, verbose=True)
+        t_train = time.time() - t0
+        gate_epochs = [h["epoch"] for h in res.history
+                       if all(v <= cfg.eq_tol for k, v in h.items()
+                              if k.endswith("_max"))]
+        summary.update(
+            epochs=res.epochs_run, train_time_s=t_train,
+            best_val_obj=res.best_val_obj,
+            gate_met=res.checkpoint_path is not None and bool(gate_epochs),
+            first_gate_epoch=(gate_epochs[0] if gate_epochs else None),
+            history_tail=res.history[-5:],
+            checkpoint=res.checkpoint_path)
+        params = res.params
+    else:
+        path_ck = ckpt.checkpoint_path(cfg.save_dir, cfg.model_name,
+                                       cfg.run_name())
+        params = ckpt.load_checkpoint(path_ck)["params"]
+        summary.update(checkpoint=path_ck)
+
+    rep = run_test(cfg, ds, params, verbose=True)
+    summary.update(
+        final_primal_res=float(rep.primal_res[-1]),
+        final_dual_res=float(rep.dual_res[-1]),
+        final_obj=float(rep.obj[-1]),
+        violations_final={k: float(v[-1]) for k, v in rep.violations.items()},
+        parallel_time=rep.parallel_time,
+        oracle_gap=rep.oracle_gap,
+        primal_res_curve=[float(v) for v in rep.primal_res],
+        dual_res_curve=[float(v) for v in rep.dual_res])
+    if rep.stage2 is not None:
+        summary["stage2"] = dict(
+            primal_res=float(rep.stage2.primal_res[-1]),
+            dual_res=float(rep.stage2.dual_res[-1]),
+            time_per_instance=rep.stage2.parallel_time)
+
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print("summary ->", out_path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
