@@ -68,6 +68,8 @@ class ExperimentConfig:
 
     # --- TPU-native additions (no reference counterpart) ---
     num_devices: int = 0            # 0 = all visible devices (data-parallel)
+    sparse: bool = False            # BCOO sparse problem data through the
+                                    # solver path (train + test)
     use_pallas: bool = False        # fused Pallas LSTM-cell kernel
     gate_dtype: str = "float32"     # 'bfloat16' enables bf16 gate matmuls
     matvec_mode: str = "highest"    # KKT-feature matvecs: highest|default|bf16

@@ -48,11 +48,15 @@ class SparseQPBatch:
         return self.A0.shape[-2]
 
 
-def from_dense(data: QPBatch) -> SparseQPBatch:
-    """Convert a dense QPBatch; nse is the max over the batch (padded)."""
+def from_dense(data: QPBatch, nse_pad: int = 1024) -> SparseQPBatch:
+    """Convert a dense QPBatch; nse is the max over the batch, rounded up to
+    a multiple of ``nse_pad`` so successive batches of the same family hit
+    one compiled program instead of retracing per batch."""
     def to_bcoo(M):
         nse = int(np.max(np.sum(np.asarray(M) != 0, axis=(-2, -1))))
-        return jsparse.BCOO.fromdense(M, nse=max(nse, 1), n_batch=1)
+        nse = max(((nse + nse_pad - 1) // nse_pad) * nse_pad, 1)
+        nse = min(nse, M.shape[-2] * M.shape[-1])
+        return jsparse.BCOO.fromdense(M, nse=nse, n_batch=1)
 
     return SparseQPBatch(Q=to_bcoo(data.Q), p=data.p, A0=to_bcoo(data.A0),
                          zl=data.zl, zu=data.zu, eq_mask=data.eq_mask)
@@ -96,3 +100,72 @@ def sparse_lstm_step(params, t, state: IterState, data: SparseQPBatch,
     x, y, z = admm_update(data, xv, state.x, state.y, state.z,
                           rho_vec, alpha, relax_z=False)
     return IterState(x=x, y=y, z=z, xv=xv, H=H, C=C)
+
+
+def primal_dual_residual_sparse(x, y, z, data: SparseQPBatch):
+    """(‖A0x − z‖₂, ‖Qx + p + A0ᵀy‖₂) with sparse matvecs
+    (dense version: evaluation/metrics.py; reference: utils.py:68-71)."""
+    pr = jnp.linalg.norm(_bmv(data.A0, x) - z, axis=-1)
+    dr = jnp.linalg.norm(_bmv(data.Q, x) + data.p + _bmv_t(data.A0, y),
+                         axis=-1)
+    return pr, dr
+
+
+def chunk_loss_sparse(params, state: IterState, data: SparseQPBatch, sigma,
+                      chunk_len: int, outer_T: int, t0, remat: bool = False):
+    """TBPTT chunk objective over sparse problem data — drop-in for
+    ``rollouts.chunk_loss`` via the harness ``loss_fn`` hook."""
+
+    def body(st, t):
+        st = sparse_lstm_step(params, t, st, data, sigma)
+        pr, dr = primal_dual_residual_sparse(st.x, st.y, st.z, data)
+        return st, (pr + dr).mean()
+
+    if remat:
+        body = jax.checkpoint(body)
+    ts = t0 + jnp.arange(chunk_len)
+    final, losses = jax.lax.scan(body, state, ts)
+    return losses.sum() / outer_T, final
+
+
+def eval_rollout_sparse(params, state: IterState, data_sp: SparseQPBatch,
+                        data_orig: QPBatch, scaling, sigma, num_iters: int,
+                        metrics_mode: str = "default"):
+    """Test rollout with per-iteration metrics, solver matvecs sparse.
+
+    The solver path (KKT feature + ADMM update) runs on the scaled sparse
+    data; the reported metrics follow the reference protocol — original
+    (unscaled) space against the dense pre-scaling data
+    (reference: main.py:892-978) — and the scaled-space linear-system
+    residual ‖Ã·xv_new − b̃_old‖ is computed with sparse matvecs."""
+    from ..solvers.rollouts import EvalTrace, _unscale
+    from ..evaluation import metrics
+
+    n = data_sp.num_var
+
+    def body(st, t):
+        rho_vec, _ = _schedules(params, t, data_sp.eq_mask)
+        old = st
+        st = sparse_lstm_step(params, t, st, data_sp, sigma)
+        u, nu = st.xv[:, :n], st.xv[:, n:]
+        r1 = _bmv(data_sp.Q, u) + sigma * u + _bmv_t(data_sp.A0, nu) \
+            - (sigma * old.x - data_sp.p)
+        r2 = _bmv(data_sp.A0, u) - nu / rho_vec \
+            - (old.z - old.y / rho_vec)
+        ls = jnp.linalg.norm(jnp.concatenate([r1, r2], -1), axis=-1).mean()
+        x_u, y_u, z_u = _unscale(st, scaling)
+        obj = metrics.obj_fn(x_u, data_orig.Q, data_orig.p,
+                             metrics_mode).mean()
+        pr, dr = metrics.primal_dual_residual(x_u, y_u, z_u, data_orig.Q,
+                                              data_orig.p, data_orig.A0,
+                                              metrics_mode)
+        vio = metrics.violation_stats(x_u, data_orig, metrics_mode)
+        return st, dict(obj=obj, primal_res=pr.mean(), dual_res=dr.mean(),
+                        ls=ls, vio=vio)
+
+    ts = jnp.arange(num_iters)
+    final, ys = jax.lax.scan(body, state, ts)
+    trace = EvalTrace(obj=ys["obj"], primal_res=ys["primal_res"],
+                      dual_res=ys["dual_res"], ls_res=ys["ls"],
+                      violations=ys["vio"])
+    return final, trace

@@ -23,7 +23,10 @@ from .generators import RawDataset
 _OPTIONAL = ("G", "c", "A", "b", "lb", "ub", "x_opt", "y_opt")
 
 
-def save_npz(ds: RawDataset, path: str) -> None:
+def save_npz(ds: RawDataset, path: str, compress: bool = False) -> None:
+    """Single stacked ``.npz`` per dataset.  Uncompressed by default: the
+    payload is random-ish float data (compression gains ~0%) and zlib makes
+    a 15 GB flagship dataset take >10 min to load vs seconds raw."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {"prob_type": np.asarray(ds.prob_type),
                "Q": ds.Q, "p": ds.p, "A0": ds.A0, "zl": ds.zl, "zu": ds.zu}
@@ -31,14 +34,42 @@ def save_npz(ds: RawDataset, path: str) -> None:
         v = getattr(ds, k)
         if v is not None:
             payload[k] = v
-    np.savez_compressed(path, **payload)
+    # Sparse on-disk storage for genuinely sparse matrices (reference keeps
+    # CSC for its sparse families, generate_data.py:119-128).  COO triplets
+    # cost 12 B/entry vs 4 B/dense-entry, so only densities < 1/3 shrink.
+    for k in ("Q", "A0"):
+        M = payload[k]
+        nz = M != 0
+        if nz.mean() < 1.0 / 3.0:
+            flat = M.reshape(M.shape[0], -1)
+            idx = [np.flatnonzero(f) for f in flat]
+            payload[f"{k}_sp_idx"] = np.concatenate(idx).astype(np.int64)
+            payload[f"{k}_sp_val"] = np.concatenate(
+                [f[i] for f, i in zip(flat, idx)]).astype(M.dtype)
+            payload[f"{k}_sp_cnt"] = np.asarray([len(i) for i in idx],
+                                                np.int64)
+            payload[f"{k}_sp_shape"] = np.asarray(M.shape, np.int64)
+            del payload[k]
+    (np.savez_compressed if compress else np.savez)(path, **payload)
 
 
 def load_npz(path: str) -> RawDataset:
     with np.load(path, allow_pickle=False) as f:
+        def mat(k):
+            if k in f:
+                return f[k]
+            shape = tuple(f[f"{k}_sp_shape"])
+            M = np.zeros((shape[0], shape[1] * shape[2]), f[f"{k}_sp_val"].dtype)
+            offs = np.concatenate([[0], np.cumsum(f[f"{k}_sp_cnt"])])
+            idx, val = f[f"{k}_sp_idx"], f[f"{k}_sp_val"]
+            for b in range(shape[0]):
+                s = slice(offs[b], offs[b + 1])
+                M[b, idx[s]] = val[s]
+            return M.reshape(shape)
+
         kw = {k: f[k] for k in _OPTIONAL if k in f}
         return RawDataset(prob_type=str(f["prob_type"]),
-                          Q=f["Q"], p=f["p"], A0=f["A0"],
+                          Q=mat("Q"), p=f["p"], A0=mat("A0"),
                           zl=f["zl"], zu=f["zu"], **kw)
 
 

@@ -362,9 +362,22 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     if verbose and mesh is not None:
         print(f"data-parallel over {ndev} devices")
 
+    # Sparse problem-data route: BCOO solver matvecs (kernels/sparse).
+    # Per-batch host conversion; validation metrics stay dense.
+    sparse_mod = None
+    if cfg.sparse:
+        from ..kernels import sparse as sparse_mod  # noqa: F811
+        if mesh is not None:
+            mesh = None
+            if verbose:
+                print("sparse path is single-device; data-parallel mesh off")
+
     # Fused training megakernel: the whole TBPTT segment (fwd + hand-derived
     # bwd) runs VMEM-resident in two Pallas kernels (kernels/train_rollout).
     fused_loss = None
+    if cfg.sparse and cfg.train_backend == "fused":
+        raise ValueError("train_backend='fused' is a dense-data kernel; "
+                         "use the step path with sparse=True")
     if cfg.train_backend == "fused":
         if cfg.model_name != "lstm":
             raise ValueError("train_backend='fused' supports the lstm cell")
@@ -382,9 +395,16 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
             print("train_backend='fused' is single-device; using the step "
                   "path under the data-parallel mesh")
 
+    loss_override = fused_loss
+    if sparse_mod is not None:
+        def loss_override(p, st, data, t0):  # noqa: F811
+            return sparse_mod.chunk_loss_sparse(
+                p, st, data, cfg.sigma, cfg.truncated_length, cfg.outer_T,
+                t0, remat=cfg.remat)
+
     train_chunk = make_train_chunk(step_fn, optimizer, cfg.outer_T,
                                    cfg.truncated_length, cfg.sigma,
-                                   remat=cfg.remat, loss_fn=fused_loss)
+                                   remat=cfg.remat, loss_fn=loss_override)
     val_fn = make_val_fn(step_fn, cfg.outer_T, cfg.sigma, cfg.hidden_dim)
     scale_jit = jax.jit(partial(scale_batch, iters=cfg.scaling_ites))
 
@@ -453,8 +473,9 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     stacked = cost_stack = None
     dtype_bytes = 2 if cfg.preload_dtype == "bfloat16" else 4
     train_bytes = train_stack_bytes(ds, n_used, dtype_bytes)
-    if cfg.preload == "always" or (cfg.preload == "auto" and
-                                   train_bytes < device_memory_budget()):
+    if not cfg.sparse and (
+            cfg.preload == "always" or (cfg.preload == "auto" and
+                                        train_bytes < device_memory_budget())):
         stacked, cost_stack = preload_train_stack(
             ds, train_ids[:n_used], n_batches, cfg.batch_size, cfg,
             scale_jit, mesh=mesh)
@@ -513,10 +534,12 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                                 data.num_constr, cfg.hidden_dim)
                 if mesh is not None:
                     st = dist.shard_batch(st, mesh)
+                chunk_data = (sparse_mod.from_dense(data)
+                              if sparse_mod is not None else data)
                 for ci in range(n_chunks):
                     t0 = jnp.asarray(ci * cfg.truncated_length, jnp.int32)
                     params, opt_state, st, loss = train_chunk(
-                        params, opt_state, st, data, t0)
+                        params, opt_state, st, chunk_data, t0)
                 last = (data, st, cost, loss)
             data, st, cost, loss = last
             train_obj_dev = metrics.obj_fn(st.x, data.Q, data.p)

@@ -40,3 +40,46 @@ def test_bcoo_matvecs():
                                np.einsum("bij,bj->bi", M, v), atol=1e-6)
     np.testing.assert_allclose(np.asarray(sp._bmv_t(Mb, jnp.asarray(w))),
                                np.einsum("bij,bi->bj", M, w), atol=1e-6)
+
+
+def test_sparse_storage_roundtrip(tmp_path):
+    """COO on-disk storage (density < 1/3) round-trips exactly."""
+    from iadmm_tpu.problems.io import save_npz, load_npz
+    ds = generate("Equality_QP", num_var=20, num_eq=10, data_size=3, seed=7)
+    # force sparsity below the storage threshold
+    ds.Q[:] = ds.Q * (np.random.default_rng(0).random(ds.Q.shape) < 0.2)
+    ds.A0[:] = ds.A0 * (np.random.default_rng(1).random(ds.A0.shape) < 0.2)
+    p = str(tmp_path / "sp.npz")
+    save_npz(ds, p)
+    with np.load(p) as f:
+        assert "Q_sp_val" in f and "A0_sp_val" in f and "Q" not in f
+    out = load_npz(p)
+    np.testing.assert_array_equal(out.Q, ds.Q)
+    np.testing.assert_array_equal(out.A0, ds.A0)
+
+
+def test_sparse_harness_and_driver_match_dense():
+    """cfg.sparse=True end-to-end: training runs and the eval driver's
+    traces match the dense path."""
+    import iadmm_tpu as it
+    from iadmm_tpu.train import harness
+    from iadmm_tpu.evaluation.driver import run_test
+
+    ds = generate("Random_QP", num_var=12, num_ineq=18, data_size=8, seed=9)
+    kw = dict(prob_type="Random_QP", num_var=12, num_ineq=18, data_size=8,
+              hidden_dim=8, outer_T=4, truncated_length=2, batch_size=2,
+              lr=2e-3, num_epoch=2, val_frac=0.25, test_frac=0.25,
+              eq_tol=1e9, num_devices=1, scaling=True, preload="never",
+              test_outer_T=4, test_batch_size=2, save_dir="")
+    res_sp = harness.train(it.ExperimentConfig(sparse=True, **kw),
+                           ds, verbose=False)
+    assert all(np.isfinite(h["train_loss"]) for h in res_sp.history)
+    rep_sp = run_test(it.ExperimentConfig(sparse=True, **kw), ds,
+                      res_sp.params, verbose=False)
+    rep_d = run_test(it.ExperimentConfig(**kw), ds, res_sp.params,
+                     verbose=False)
+    np.testing.assert_allclose(rep_sp.primal_res, rep_d.primal_res,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(rep_sp.dual_res, rep_d.dual_res,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(rep_sp.obj, rep_d.obj, rtol=1e-4, atol=1e-6)
