@@ -41,14 +41,18 @@ def make_solver(params: Dict, *, hidden_dim: int, num_iters: int,
                 gate_dtype: str = "float32",
                 matvec_mode: Optional[str] = None,
                 model_name: str = "lstm",
-                rollout_impl: str = "step"):
+                rollout_impl: str = "step",
+                stage2_impl: str = "lu"):
     """Build a jitted ``solve(data: QPBatch) -> SolveResult``.
 
     ``feas_rest_num > 0`` appends Stage-II exact polish with the last
     learned rho (reference: main.py:1035-1064).  ``rollout_impl='fused'``
     runs the whole K-iteration rollout inside the Pallas megakernel
     (Q/A0/state VMEM-resident; TPU-only, bf16 profile) — the fastest
-    serving path.
+    serving path.  ``stage2_impl`` selects the polish backend: 'lu'
+    (factor-once XLA, reference parity), 'cg' (matrix-free XLA), or
+    'fused' (whole polish loop in one Pallas kernel, Q/A0 VMEM-resident
+    f32 — kernels/stage2_kernel.py).
     """
     check_schedule_len(params, num_iters)
     if model_name == "lstm" and (use_pallas or matvec_mode):
@@ -80,8 +84,18 @@ def make_solver(params: Dict, *, hidden_dim: int, num_iters: int,
             st = unscale_state(st, sc)
         if feas_rest_num:
             rho_vec, _ = _schedules(params, num_iters - 1, data.eq_mask)
-            st = exact_mod.feasibility_restoration(
-                st, data, sigma, rho_vec, feas_rest_num)
+            if stage2_impl == "fused":
+                from .kernels.stage2_kernel import fused_stage2
+                st, _, _ = fused_stage2(st, data, rho_vec,
+                                        num_iters=feas_rest_num,
+                                        sigma=sigma)
+            elif stage2_impl == "cg":
+                from .solvers.cg import feasibility_restoration_cg
+                st = feasibility_restoration_cg(st, data, sigma, rho_vec,
+                                                feas_rest_num)
+            else:
+                st = exact_mod.feasibility_restoration(
+                    st, data, sigma, rho_vec, feas_rest_num)
         pr, dr = metrics.primal_dual_residual(
             st.x, st.y, st.z, data.Q, data.p, data.A0, "default")
         obj = metrics.obj_fn(st.x, data.Q, data.p, "default")

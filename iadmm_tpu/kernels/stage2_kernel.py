@@ -1,0 +1,204 @@
+"""Fused Stage-II (feasibility restoration) Pallas kernel.
+
+The XLA Stage-II paths pay HBM for every matvec: the LU route streams the
+factored (n+m)² KKT matrix per polish step (solvers/exact.py), and the
+matrix-free CG route re-reads Q and A0 from HBM on every CG iteration
+(solvers/cg.py) — with ~100 CG iterations × N polish steps that is
+thousands of full passes over the problem data.  Here the whole polish
+loop runs as ONE kernel per instance with Q/A0 VMEM-resident in f32
+(Stage II is the precision stage — no bf16), so the data is read from HBM
+exactly once.
+
+Semantics match ``solvers.cg.feasibility_restoration_cg``: N exact ADMM
+iterations (z-relaxation ON, α = 1.6 — reference: models/lu.py:24,43) whose
+KKT solve is Jacobi-preconditioned CG on the condensed SPD system
+M = Q + σI + A0ᵀdiag(ρ)A0, warm-started across polish steps
+(reference Stage-II protocol: main.py:1035-1064).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import IterState, QPBatch
+from .train_rollout import _round_up, _pad_axis
+
+ALPHA_STAGE2 = 1.6  # reference: models/lu.py:24
+
+
+def _stage2_kernel(q_ref, a0_ref, p_ref, zl_ref, zu_ref, rho_ref, diag_ref,
+                   x0_ref, y0_ref, z0_ref, xt0_ref,
+                   x_out, y_out, z_out, xt_out, pr_out, dr_out,
+                   x_r, y_r, z_r, xt_r, r_s, pv_s,
+                   *, n: int, m: int, N: int, cg_iters: int,
+                   sigma: float, tol: float, alpha: float):
+    Q = q_ref[0]
+    A0 = a0_ref[0]
+    p = p_ref[0]
+    zl = zl_ref[0]
+    zu = zu_ref[0]
+    rho = rho_ref[0]
+    diag = diag_ref[0]
+
+    def mv_q(v):        # (1,n) @ Q -> (1,n), Q symmetric
+        return jax.lax.dot_general(v, Q, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def mv_a0(v):       # (1,n) -> (1,m)
+        return jax.lax.dot_general(v, A0, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def mv_a0t(w):      # (1,m) -> (1,n)
+        return jax.lax.dot_general(w, A0, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def mv_M(v):        # condensed SPD matvec (solvers/cg.py)
+        return mv_q(v) + sigma * v + mv_a0t(rho * mv_a0(v))
+
+    x_r[...] = x0_ref[0]
+    y_r[...] = y0_ref[0]
+    z_r[...] = z0_ref[0]
+    xt_r[...] = xt0_ref[0]
+
+    def polish(i, _):
+        x = x_r[:]
+        y = y_r[:]
+        z = z_r[:]
+
+        b = sigma * x - p + mv_a0t(rho * z - y)
+        bnorm = jnp.sqrt(jnp.sum(b * b)) + 1e-30
+
+        # --- Jacobi-preconditioned CG, warm-started from xt_r ---
+        r_s[...] = b - mv_M(xt_r[:])
+        pv_s[...] = r_s[:] / diag
+        rz0 = jnp.sum(r_s[:] * pv_s[:])
+
+        def cg(k, rz):
+            pv = pv_s[:]
+            Ap = mv_M(pv)
+            denom = jnp.sum(pv * Ap)
+            rnorm = jnp.sqrt(jnp.sum(r_s[:] * r_s[:]))
+            active = jnp.logical_and(rnorm / bnorm > tol, denom > 0.0)
+            a_k = jnp.where(active,
+                            rz / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+            xt_r[...] = xt_r[:] + a_k * pv
+            r_s[...] = r_s[:] - a_k * Ap
+            zp = r_s[:] / diag
+            rz_new = jnp.sum(r_s[:] * zp)
+            beta = jnp.where(active,
+                             rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0)
+            pv_s[...] = zp + beta * pv
+            return jnp.where(active, rz_new, rz)
+
+        jax.lax.fori_loop(0, cg_iters, cg, rz0, unroll=False)
+
+        xt = xt_r[:]
+        nu = rho * (mv_a0(xt) - z) + y
+        # exact ADMM update, z-relaxation ON (reference: models/lu.py:43-45)
+        z_t = z + (nu - y) / rho
+        x_new = alpha * xt + (1.0 - alpha) * x
+        z_temp = alpha * z_t + (1.0 - alpha) * z
+        z_new = jnp.minimum(jnp.maximum(z_temp + y / rho, zl), zu)
+        y_new = y + rho * (z_temp - z_new)
+        x_r[...] = x_new
+        y_r[...] = y_new
+        z_r[...] = z_new
+
+        v1 = mv_a0(x_new) - z_new
+        v2 = mv_q(x_new) + p + mv_a0t(y_new)
+        pr_out[0, 0, i] = jnp.sqrt(jnp.sum(v1 * v1))
+        dr_out[0, 0, i] = jnp.sqrt(jnp.sum(v2 * v2))
+        return 0
+
+    jax.lax.fori_loop(0, N, polish, 0, unroll=False)
+    x_out[0] = x_r[:]
+    y_out[0] = y_r[:]
+    z_out[0] = z_r[:]
+    xt_out[0] = xt_r[:]
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "cg_iters",
+                                             "sigma", "tol", "interpret"))
+def fused_stage2(state: IterState, data: QPBatch, rho_vec: jax.Array,
+                 *, num_iters: int, cg_iters: int = 100,
+                 sigma: float = 6e-6, tol: float = 1e-8,
+                 interpret: bool = False
+                 ) -> Tuple[IterState, jax.Array, jax.Array]:
+    """Run ``num_iters`` fused polish steps; returns (state', pr, dr) with
+    per-step primal/dual residual traces of shape (B, num_iters).
+
+    Operates in whatever space ``data`` lives in — callers follow the
+    reference and pass ORIGINAL (unscaled) data and pre-unscaled iterates
+    (rollouts.unscale_state), reference: main.py:1017-1064."""
+    B = data.p.shape[0]
+    n_true, m_true = data.num_var, data.num_constr
+    n = _round_up(n_true, 128)
+    m = _round_up(m_true, 128)
+
+    Q = _pad_axis(_pad_axis(data.Q, n, 1), n, 2).astype(jnp.float32)
+    A0 = _pad_axis(_pad_axis(data.A0, m, 1), n, 2).astype(jnp.float32)
+    p = _pad_axis(data.p, n, 1).astype(jnp.float32)[:, None]
+    zl = _pad_axis(data.zl, m, 1).astype(jnp.float32)[:, None]
+    zu = _pad_axis(data.zu, m, 1).astype(jnp.float32)[:, None]
+    rho = _pad_axis(rho_vec.astype(jnp.float32)
+                    * jnp.ones((B, m_true), jnp.float32), m, 1,
+                    fill=1.0)[:, None]
+    # Jacobi diagonal (pad entries: sigma-only rows -> 1.0-safe divisor)
+    qd = jnp.diagonal(data.Q, axis1=-2, axis2=-1)
+    ad = jnp.einsum("bmn,bm->bn", data.A0 ** 2,
+                    rho_vec * jnp.ones((B, m_true), jnp.float32))
+    diag = _pad_axis((qd + sigma + ad).astype(jnp.float32), n, 1,
+                     fill=1.0)[:, None]
+    x0 = _pad_axis(state.x, n, 1).astype(jnp.float32)[:, None]
+    y0 = _pad_axis(state.y, m, 1).astype(jnp.float32)[:, None]
+    z0 = _pad_axis(state.z, m, 1).astype(jnp.float32)[:, None]
+    xt0 = _pad_axis(state.xv[:, :n_true], n, 1).astype(jnp.float32)[:, None]
+
+    inst = lambda d1, d2: pl.BlockSpec((1, d1, d2), lambda b: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    smem_i = lambda d: pl.BlockSpec((1, 1, d), lambda b: (b, 0, 0),
+                                    memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+    kernel = functools.partial(_stage2_kernel, n=n, m=m, N=num_iters,
+                               cg_iters=cg_iters, sigma=float(sigma),
+                               tol=float(tol), alpha=ALPHA_STAGE2)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[inst(n, n), inst(m, n), inst(1, n), inst(1, m), inst(1, m),
+                  inst(1, m), inst(1, n),
+                  inst(1, n), inst(1, m), inst(1, m), inst(1, n)],
+        out_specs=[inst(1, n), inst(1, m), inst(1, m), inst(1, n),
+                   smem_i(num_iters), smem_i(num_iters)],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, n), f32),
+                   jax.ShapeDtypeStruct((B, 1, m), f32),
+                   jax.ShapeDtypeStruct((B, 1, m), f32),
+                   jax.ShapeDtypeStruct((B, 1, n), f32),
+                   jax.ShapeDtypeStruct((B, 1, num_iters), f32),
+                   jax.ShapeDtypeStruct((B, 1, num_iters), f32)],
+        scratch_shapes=[pltpu.VMEM((1, n), f32), pltpu.VMEM((1, m), f32),
+                        pltpu.VMEM((1, m), f32), pltpu.VMEM((1, n), f32),
+                        pltpu.VMEM((1, n), f32), pltpu.VMEM((1, n), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * num_iters * (cg_iters + 2)
+            * (n * n + 2 * m * n),
+            bytes_accessed=4 * B * (n * n + m * n),
+            transcendentals=0),
+        interpret=interpret,
+    )(Q, A0, p, zl, zu, rho, diag, x0, y0, z0, xt0)
+
+    x, y, z, xt, pr, dr = outs
+    nu = rho_vec * (jnp.einsum("bmn,bn->bm", data.A0, xt[:, 0, :n_true])
+                    - z[:, 0, :m_true]) + y[:, 0, :m_true]
+    xv = jnp.concatenate([xt[:, 0, :n_true], nu], axis=-1)
+    st = IterState(x=x[:, 0, :n_true], y=y[:, 0, :m_true],
+                   z=z[:, 0, :m_true], xv=xv, H=state.H, C=state.C)
+    return st, pr[:, 0], dr[:, 0]

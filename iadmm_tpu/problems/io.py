@@ -122,6 +122,37 @@ def load_dataset(root: str, prob_type: str, num_var: int = 0,
     raise FileNotFoundError(f"no dataset at {path} or {d}")
 
 
+def save_reference_gz_dir(ds: RawDataset, data_dir: str,
+                          prefix: str) -> None:
+    """Export a RawDataset to the reference's per-instance gzip-pickle
+    layout (reference: generate_data.py:86-92 payload: 2-D Q/A0, column
+    vectors p/c/b/zl/zu, flat ground-truth x/y) so reference tooling can
+    train/evaluate on datasets produced by this framework."""
+    os.makedirs(data_dir, exist_ok=True)
+
+    def sh(a, i):  # shared leading dim (QP_RHS) broadcasts
+        return a[i if a.shape[0] > 1 else 0]
+
+    col = lambda v: np.asarray(v, np.float64)[:, None]
+    for i in range(ds.size):
+        d = {"Q": np.asarray(sh(ds.Q, i), np.float64),
+             "p": col(sh(ds.p, i)),
+             "A0": np.asarray(sh(ds.A0, i), np.float64),
+             "zl": col(ds.zl[i]), "zu": col(ds.zu[i])}
+        for k, squeeze in (("G", False), ("A", False), ("c", True),
+                           ("b", True), ("lb", True), ("ub", True)):
+            v = getattr(ds, k)
+            if v is not None:
+                d[k] = col(sh(v, i)) if squeeze else np.asarray(
+                    sh(v, i), np.float64)
+        if ds.x_opt is not None:
+            d["x"] = np.asarray(ds.x_opt[i], np.float64)
+            d["y"] = np.asarray(ds.y_opt[i], np.float64)
+        with gzip.open(os.path.join(data_dir, f"{prefix}_{i}.gz"),
+                       "wb") as f:
+            pickle.dump(d, f)
+
+
 def load_reference_gz_dir(data_dir: str, prefix: str,
                           ids: Sequence[int]) -> RawDataset:
     """Load reference-format per-instance gzip pickles

@@ -1,0 +1,52 @@
+"""Fused Stage-II CG polish kernel vs the XLA matrix-free path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iadmm_tpu.problems.generators import generate
+from iadmm_tpu.problems.io import to_qp_batch
+from iadmm_tpu.solvers.step import rho_vector
+from iadmm_tpu.solvers.cg import feasibility_restoration_cg
+from iadmm_tpu.kernels.stage2_kernel import fused_stage2
+from iadmm_tpu.types import init_state, IterState
+
+
+def _setup(B=3, n=12, mi=8, me=6):
+    ds = generate("QP", num_var=n, num_ineq=mi, num_eq=me, data_size=B,
+                  seed=11)
+    data = to_qp_batch(ds, with_metric_views=False)
+    rng = np.random.default_rng(0)
+    st = init_state(B, n, mi + me, 4)
+    st = IterState(
+        x=jnp.asarray(rng.standard_normal((B, n)) * 0.1, jnp.float32),
+        y=jnp.asarray(rng.standard_normal((B, mi + me)) * 0.1, jnp.float32),
+        z=jnp.asarray(rng.standard_normal((B, mi + me)) * 0.1, jnp.float32),
+        xv=jnp.zeros((B, n + mi + me), jnp.float32), H=st.H, C=st.C)
+    rho_vec = rho_vector(jnp.float32(0.1), data.eq_mask)
+    return data, st, rho_vec
+
+
+def test_fused_stage2_matches_xla_cg():
+    data, st, rho_vec = _setup()
+    N = 12
+    ref = feasibility_restoration_cg(st, data, 1e-4, rho_vec, N,
+                                     cg_iters=60)
+    # f32 reassociation + the CG early-exit branch at the tol boundary make
+    # bitwise equality impossible; the two paths must agree behaviorally.
+    out, pr, dr = fused_stage2(st, data, rho_vec, num_iters=N, cg_iters=60,
+                               sigma=1e-4, interpret=True)
+    for name in ("x", "y", "z"):
+        np.testing.assert_allclose(np.asarray(getattr(out, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   rtol=5e-3, atol=5e-4, err_msg=name)
+    assert pr.shape == (3, N) and dr.shape == (3, N)
+    # polish must monotonically crush the primal residual overall
+    assert float(pr[:, -1].mean()) < float(pr[:, 0].mean())
+
+
+def test_fused_stage2_converges_to_feasibility():
+    data, st, rho_vec = _setup(B=2, n=16, mi=10, me=8)
+    out, pr, dr = fused_stage2(st, data, rho_vec, num_iters=60,
+                               cg_iters=80, sigma=1e-4, interpret=True)
+    assert float(pr[:, -1].max()) < 1e-2
