@@ -654,12 +654,18 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
                           hidden: int, sigma: float, chunk_len: int,
                           outer_T: int, K_total: int,
                           interpret: bool = False, seg: int = 0,
-                          compute_dtype: str = "bfloat16"):
+                          compute_dtype: str = "bfloat16", mesh=None):
     """Build a drop-in for ``rollouts.chunk_loss`` backed by the fused
     training megakernel: ``fn(params, state, data, t0) -> (loss, state')``.
 
     Loss numerics follow ``chunk_loss`` with ``loss_mode='bf16'`` (the
     resident matrices are bf16).  Differentiates w.r.t. params only.
+
+    ``mesh``: a ``('data',)`` mesh makes the returned fn data-parallel via
+    ``shard_map`` — each device runs the kernel on its shard of the
+    instance batch (``batch`` here is the PER-DEVICE batch), the chunk loss
+    is ``pmean``-ed over 'data', and shard_map's transpose inserts the
+    gradient all-reduce over ICI (SURVEY.md §2.4 DP row).
     """
     import numpy as np
 
@@ -767,4 +773,24 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
         return loss, _unpack_state(final, num_var, num_constr, n)
 
     fused_chunk_loss.segment_len = J
-    return fused_chunk_loss
+    if mesh is None:
+        return fused_chunk_loss
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def dp_chunk_loss(params, state: IterState, data: QPBatch, t0):
+        def local(params, state, data, t0):
+            loss, st = fused_chunk_loss(params, state, data, t0)
+            return jax.lax.pmean(loss, "data"), st
+
+        pspec = jax.tree.map(lambda _: P(), params)
+        sspec = jax.tree.map(lambda _: P("data"), state)
+        dspec = jax.tree.map(lambda _: P("data"), data)
+        return shard_map(local, mesh=mesh,
+                         in_specs=(pspec, sspec, dspec, P()),
+                         out_specs=(P(), sspec),
+                         check_vma=False)(params, state, data, t0)
+
+    dp_chunk_loss.segment_len = J
+    return dp_chunk_loss

@@ -381,19 +381,16 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     if cfg.train_backend == "fused":
         if cfg.model_name != "lstm":
             raise ValueError("train_backend='fused' supports the lstm cell")
-        if mesh is None:
-            from ..kernels.train_rollout import make_fused_chunk_loss
-            fused_loss = make_fused_chunk_loss(
-                num_var=ds.Q.shape[-1], num_constr=ds.A0.shape[-2],
-                batch=cfg.batch_size, hidden=cfg.hidden_dim,
-                sigma=cfg.sigma, chunk_len=cfg.truncated_length,
-                outer_T=cfg.outer_T, K_total=cfg.outer_T,
-                compute_dtype="bfloat16" if cfg.matvec_mode == "bf16"
-                else "float32",
-                interpret=jax.default_backend() != "tpu")
-        elif verbose:
-            print("train_backend='fused' is single-device; using the step "
-                  "path under the data-parallel mesh")
+        from ..kernels.train_rollout import make_fused_chunk_loss
+        fused_loss = make_fused_chunk_loss(
+            num_var=ds.Q.shape[-1], num_constr=ds.A0.shape[-2],
+            batch=cfg.batch_size // (ndev if mesh is not None else 1),
+            hidden=cfg.hidden_dim,
+            sigma=cfg.sigma, chunk_len=cfg.truncated_length,
+            outer_T=cfg.outer_T, K_total=cfg.outer_T,
+            compute_dtype="bfloat16" if cfg.matvec_mode == "bf16"
+            else "float32",
+            interpret=jax.default_backend() != "tpu", mesh=mesh)
 
     loss_override = fused_loss
     if sparse_mod is not None:

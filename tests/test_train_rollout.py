@@ -199,3 +199,30 @@ def test_harness_fused_backend_trains():
     losses = [h["train_loss"] for h in res.history]
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_fused_dp_matches_single_device():
+    """shard_map-wrapped fused loss on the 8-device CPU mesh == single-dev."""
+    from iadmm_tpu import dist
+
+    B, n, m, h = 4, 8, 8, 16
+    chunk_len, outer_T, K_total, sigma = 2, 4, 4, 1e-3
+    data, params, st = make_problem(jax.random.PRNGKey(2), B, n, m, h)
+    kw = dict(num_var=n, num_constr=m, hidden=h, sigma=sigma,
+              chunk_len=chunk_len, outer_T=outer_T, K_total=K_total,
+              interpret=True, seg=2)
+    single = make_fused_chunk_loss(batch=B, **kw)
+    mesh = dist.make_mesh(2)
+    dp = make_fused_chunk_loss(batch=B // 2, mesh=mesh, **kw)
+
+    t0 = jnp.asarray(0, jnp.int32)
+    (l1, st1), g1 = jax.value_and_grad(
+        lambda p: single(p, st, data, t0), has_aux=True)(params)
+    (l2, st2), g2 = jax.value_and_grad(
+        lambda p: dp(p, st, data, t0), has_aux=True)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st2.x),
+                               rtol=1e-6)
