@@ -58,7 +58,7 @@ def test_sparse_storage_roundtrip(tmp_path):
     np.testing.assert_array_equal(out.A0, ds.A0)
 
 
-def test_sparse_harness_and_driver_match_dense():
+def test_sparse_harness_and_driver_match_dense(tmp_path):
     """cfg.sparse=True end-to-end: training runs and the eval driver's
     traces match the dense path."""
     import iadmm_tpu as it
@@ -70,7 +70,7 @@ def test_sparse_harness_and_driver_match_dense():
               hidden_dim=8, outer_T=4, truncated_length=2, batch_size=2,
               lr=2e-3, num_epoch=2, val_frac=0.25, test_frac=0.25,
               eq_tol=1e9, num_devices=1, scaling=True, preload="never",
-              test_outer_T=4, test_batch_size=2, save_dir="")
+              test_outer_T=4, test_batch_size=2, save_dir=str(tmp_path))
     res_sp = harness.train(it.ExperimentConfig(sparse=True, **kw),
                            ds, verbose=False)
     assert all(np.isfinite(h["train_loss"]) for h in res_sp.history)

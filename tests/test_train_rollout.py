@@ -180,7 +180,7 @@ def test_rho_alpha_grads_land_at_t0():
     assert np.any(rho_g[4:6] != 0)
 
 
-def test_harness_fused_backend_trains():
+def test_harness_fused_backend_trains(tmp_path):
     """End-to-end: harness.train with train_backend='fused' (interpret mode
     on CPU) runs, losses are finite and decrease vs epoch 0."""
     from iadmm_tpu.problems import generate
@@ -194,7 +194,7 @@ def test_harness_fused_backend_trains():
         hidden_dim=8, outer_T=6, truncated_length=3, batch_size=2,
         lr=5e-3, num_epoch=3, val_frac=0.25, test_frac=0.0, eq_tol=1e9,
         num_devices=1, scaling=False, preload="never",
-        train_backend="fused", matvec_mode="bf16", save_dir="")
+        train_backend="fused", matvec_mode="bf16", save_dir=str(tmp_path))
     res = harness.train(cfg, ds, verbose=False)
     losses = [h["train_loss"] for h in res.history]
     assert all(np.isfinite(l) for l in losses)
