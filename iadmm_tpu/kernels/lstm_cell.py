@@ -46,9 +46,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _cell_kernel(x_ref, h_ref, c_ref, w_ref, u_ref, uscale_ref, b_ref,
+def _cell_kernel(x_ref, h_ref, c_ref, w_ref, u_ref, b_ref,
                  wh_ref, bh_ref, delta_ref, h_out_ref, c_out_ref, *,
-                 hidden: int, gate_dtype, quant: bool):
+                 hidden: int, gate_dtype):
     x = x_ref[0]          # (TS, in_dim)
     H = h_ref[0]          # (TS, h)
     C = c_ref[0]          # (TS, h)
@@ -62,20 +62,7 @@ def _cell_kernel(x_ref, h_ref, c_ref, w_ref, u_ref, uscale_ref, b_ref,
                                    (((1,), (0,)), ((), ())), precision=prec,
                                    preferred_element_type=jnp.float32)
 
-    if quant:
-        # int8 recurrent matmul (2x bf16 MXU throughput): U is pre-quantized
-        # per output column (uscale_ref); H is quantized per token row with
-        # a dynamic absmax scale.  int32 accumulate, f32 dequant.
-        h_scale = (jnp.max(jnp.abs(H), axis=1, keepdims=True)
-                   / 127.0 + 1e-20)                      # (TS, 1)
-        H_q = jnp.round(H / h_scale).astype(jnp.int8)
-        acc = jax.lax.dot_general(H_q, u_ref[:],
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        gates_h = acc.astype(jnp.float32) * h_scale * uscale_ref[:]
-    else:
-        gates_h = mm(H, u_ref[:])
-    gates = mm(x, w_ref[:]) + gates_h + b_ref[:]
+    gates = mm(x, w_ref[:]) + mm(H, u_ref[:]) + b_ref[:]
     # (TS, 4h) f32, never leaves VMEM.
     # Manual exp-based sigmoid/tanh: numerically equivalent in f32 (inf
     # saturates correctly) but avoids a Mosaic pathologic-compile-time path
@@ -107,8 +94,7 @@ def _cell_kernel(x_ref, h_ref, c_ref, w_ref, u_ref, uscale_ref, b_ref,
 def _pallas_forward(W, U, b, W_h, b_h, inputs, H, C,
                     gate_dtype_name: str = "float32",
                     token_tile: int = 0):
-    quant = gate_dtype_name == "int8"
-    gate_dtype = jnp.dtype("bfloat16" if quant else gate_dtype_name)
+    gate_dtype = jnp.dtype(gate_dtype_name)
     B, S, in_dim = inputs.shape
     hidden = H.shape[-1]
     TS = token_tile or TOKEN_TILE
@@ -123,14 +109,7 @@ def _pallas_forward(W, U, b, W_h, b_h, inputs, H, C,
     W_h = W_h.astype(gate_dtype)
     b2 = b.reshape(1, -1).astype(jnp.float32)
     bh2 = b_h.reshape(1, -1).astype(jnp.float32)
-    if quant:
-        # per-output-column symmetric int8 quantization of U
-        uscale = (jnp.max(jnp.abs(U), axis=0, keepdims=True)
-                  / 127.0 + 1e-20).astype(jnp.float32)    # (1, 4h)
-        U = jnp.round(U / uscale).astype(jnp.int8)
-    else:
-        U = U.astype(gate_dtype)
-        uscale = jnp.ones((1, 4 * hidden), jnp.float32)
+    U = U.astype(gate_dtype)
 
     grid = (B, S_pad // TS)
     tile3 = lambda d: pl.BlockSpec((1, TS, d), lambda i, j: (i, j, 0),
@@ -140,7 +119,7 @@ def _pallas_forward(W, U, b, W_h, b_h, inputs, H, C,
 
     flops = 2 * B * S_pad * (in_dim + hidden + 1) * 4 * hidden
     kernel = functools.partial(_cell_kernel, hidden=hidden,
-                               gate_dtype=gate_dtype, quant=quant)
+                               gate_dtype=gate_dtype)
     delta, H_new, C_new = pl.pallas_call(
         kernel,
         grid=grid,
@@ -150,7 +129,6 @@ def _pallas_forward(W, U, b, W_h, b_h, inputs, H, C,
             tile3(hidden),                       # C
             full2(in_dim, 4 * hidden),           # W (grid-invariant)
             full2(hidden, 4 * hidden),           # U (grid-invariant)
-            full2(1, 4 * hidden),                # u column scales
             full2(1, 4 * hidden),                # b
             full2(hidden, 1),                    # W_h
             full2(1, 1),                         # b_h
@@ -166,7 +144,7 @@ def _pallas_forward(W, U, b, W_h, b_h, inputs, H, C,
             transcendentals=4 * B * S_pad * hidden),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(inputs, H, C, W, U, uscale, b2, W_h, bh2)
+    )(inputs, H, C, W, U, b2, W_h, bh2)
 
     delta = delta[:, :S, 0]
     return delta, H_new[:, :S], C_new[:, :S]
@@ -196,11 +174,9 @@ def _bwd(gate_dtype_name, residuals, cotangents):
     sub = {k: params[k] for k in cell_keys}
     # Recompute with the SAME gate dtype as the forward kernel: bf16
     # forward gets a bf16-matmul backward (fast profile end to end).
-    # int8 forward gets a bf16 straight-through-estimator backward (the
-    # int8 path is inference-oriented; QAT would refine this).
-    gd = "bfloat16" if gate_dtype_name == "int8" else gate_dtype_name
     _, vjp = jax.vjp(
-        lambda p, i, h, c: cells.lstm_apply(p, i, h, c, gate_dtype=gd),
+        lambda p, i, h, c: cells.lstm_apply(p, i, h, c,
+                                            gate_dtype=gate_dtype_name),
         sub, inputs, H, C)
     d_sub, d_in, d_H, d_C = vjp(cotangents)
     d_params = {k: (d_sub[k] if k in d_sub else jnp.zeros_like(v))

@@ -55,11 +55,11 @@ def _tanh(v):
 
 def _rollout_kernel(rho_ref, alpha_ref,                       # SMEM (1, K)
                     q_ref, a0_ref, p_ref, zl_ref, zu_ref, rhom_ref,
-                    w_ref, u_ref, uscale_ref, b_ref, wh_ref, bh_ref,
+                    w_ref, u_ref, b_ref, wh_ref, bh_ref,
                     x_out, y_out, z_out,
                     H, C, xv, g_col, x_r, y_r, z_r,
                     *, n: int, m: int, hidden: int, K: int, TS: int,
-                    sigma: float, quant: bool):
+                    sigma: float):
     S = n + m
     Q = q_ref[0]      # (n, n) bf16, VMEM-resident
     A0 = a0_ref[0]    # (m, n) bf16
@@ -118,21 +118,9 @@ def _rollout_kernel(rho_ref, alpha_ref,                       # SMEM (1, K)
             g_t = g_col[pl.ds(ts, TS), :]
             Ht = H[pl.ds(ts, TS), :]
             Ct = C[pl.ds(ts, TS), :]
-            if quant:
-                # int8 recurrent matmul: dynamic per-token-row H scales,
-                # static per-column U scales (see lstm_cell int8 path)
-                hsc = (jnp.max(jnp.abs(Ht.astype(jnp.float32)), axis=1,
-                               keepdims=True) / 127.0 + 1e-20)
-                H_q = jnp.round(Ht.astype(jnp.float32) / hsc
-                                ).astype(jnp.int8)
-                acc = jax.lax.dot_general(
-                    H_q, u_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                gates_h = acc.astype(jnp.float32) * hsc * uscale_ref[:]
-            else:
-                gates_h = jax.lax.dot_general(
-                    Ht, u_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            gates_h = jax.lax.dot_general(
+                Ht, u_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             gates = (xv_t * w_ref[0:1, :] + g_t * w_ref[1:2, :]
                      + gates_h + b_ref[:])
             h = hidden
@@ -173,11 +161,9 @@ def _rollout_kernel(rho_ref, alpha_ref,                       # SMEM (1, K)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("hidden", "K", "sigma", "token_tile",
-                                    "gate_dtype"))
+                   static_argnames=("hidden", "K", "sigma", "token_tile"))
 def fused_rollout(params: Dict, data: QPBatch, *, hidden: int, K: int,
-                  sigma: float = 6e-6, token_tile: int = 0,
-                  gate_dtype: str = "bfloat16"
+                  sigma: float = 6e-6, token_tile: int = 0
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run K learned iterations fully in-kernel; returns (x, y, z).
 
@@ -225,16 +211,8 @@ def fused_rollout(params: Dict, data: QPBatch, *, hidden: int, K: int,
                           ).astype(jnp.float32), m, fill=1.0)
 
     h = hidden
-    quant = gate_dtype == "int8"
-    if quant:
-        uscale = (jnp.max(jnp.abs(params["U"]), axis=0, keepdims=True)
-                  / 127.0 + 1e-20).astype(jnp.float32)
-        U_pass = jnp.round(params["U"] / uscale).astype(jnp.int8)
-    else:
-        uscale = jnp.ones((1, 4 * h), jnp.float32)
-        U_pass = params["U"].astype(jnp.bfloat16)
     kernel = functools.partial(_rollout_kernel, n=n, m=m, hidden=h, K=K,
-                               TS=TS, sigma=float(sigma), quant=quant)
+                               TS=TS, sigma=float(sigma))
     inst3 = lambda d1, d2, space=pltpu.VMEM: pl.BlockSpec(
         (1, d1, d2), lambda b: (b, 0, 0), memory_space=space)
     # per-instance vectors ride as (B, 1, d): Mosaic blocks need the last
@@ -258,8 +236,7 @@ def fused_rollout(params: Dict, data: QPBatch, *, hidden: int, K: int,
             inst2(m), inst2(m),                # zl, zu
             inst2(m),                          # rho eq-multiplier
             shared(2, 4 * h),                  # W bf16
-            shared(h, 4 * h),                  # U bf16 or int8
-            shared(1, 4 * h),                  # U column scales
+            shared(h, 4 * h),                  # U bf16
             shared(1, 4 * h),                  # b
             shared(h, 1),                      # W_h bf16
             shared(1, 1),                      # b_h
@@ -290,7 +267,7 @@ def fused_rollout(params: Dict, data: QPBatch, *, hidden: int, K: int,
       Qp.astype(jnp.bfloat16), A0p.astype(jnp.bfloat16),
       pp[:, None].astype(jnp.float32), zlp[:, None].astype(jnp.float32),
       zup[:, None].astype(jnp.float32), rhom[:, None],
-      params["W"].astype(jnp.bfloat16), U_pass, uscale,
+      params["W"].astype(jnp.bfloat16), params["U"].astype(jnp.bfloat16),
       params["b"].reshape(1, -1).astype(jnp.float32),
       params["W_h"].astype(jnp.bfloat16),
       params["b_h"].reshape(1, -1).astype(jnp.float32))

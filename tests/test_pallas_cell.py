@@ -76,18 +76,3 @@ def test_pallas_step_matches_jnp_step(tiny_qp):
                                    rtol=1e-4, atol=1e-5,
                                    err_msg=name)
 
-
-def test_int8_gate_path(cell_setup):
-    """Experimental int8 recurrent matmul: coarse but correlated with the
-    f32 cell (inference-oriented; dynamic per-row H scales, static
-    per-column U scales)."""
-    params, inputs, H, C = cell_setup
-    d_ref, H_ref, C_ref = cells.lstm_apply(params, inputs, H, C)
-    with pltpu.force_tpu_interpret_mode():
-        d, H2, C2 = fused_lstm_cell(params, inputs, H, C, "int8")
-    # int8 quantization error bound: gates are O(0.1) pre-activation here
-    err = np.abs(np.asarray(H2) - np.asarray(H_ref)).max()
-    assert err < 0.05, err
-    corr = np.corrcoef(np.asarray(d).ravel(),
-                       np.asarray(d_ref).ravel())[0, 1]
-    assert corr > 0.999, corr
