@@ -68,6 +68,10 @@ class ExperimentConfig:
 
     # --- TPU-native additions (no reference counterpart) ---
     num_devices: int = 0            # 0 = all visible devices (data-parallel)
+    model_devices: int = 1          # tensor-parallel factor: shards the LSTM
+                                    # hidden/gate axes over a 'model' mesh
+                                    # axis (num_devices must divide by it;
+                                    # XLA inserts the delta-matmul psum)
     sparse: bool = False            # BCOO sparse problem data through the
                                     # solver path (train + test)
     use_pallas: bool = False        # fused Pallas LSTM-cell kernel

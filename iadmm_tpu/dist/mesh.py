@@ -58,6 +58,43 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
 
+# Tensor-parallel layout for the LSTM cell parameters: the 4h gate axis of
+# W/U/b and the h input axis of W_h are split over 'model'; the recurrent
+# H@U contraction and the delta = H@W_h reduction then cross the sharded
+# axis and XLA inserts the all-gather/psum over ICI (the scaling-book
+# recipe: annotate inputs, let GSPMD place collectives).  Schedules
+# (rho/alpha) and scalar-ish leaves stay replicated.
+_TP_SPECS = {"W": ("last", "model"), "U": ("last", "model"),
+             "b": ("last", "model"), "W_h": ("first", "model")}
+
+
+def _tp_spec(key: str, ndim: int):
+    kind = _TP_SPECS.get(key)
+    if kind is None:
+        return P()
+    if kind[0] == "last":
+        return P(*([None] * (ndim - 1) + ["model"]))
+    return P(*(["model"] + [None] * (ndim - 1)))
+
+
+def tp_shard_params(tree, mesh: Mesh):
+    """Place a params-shaped pytree (the params dict itself, or an optax
+    state whose moment leaves mirror it) with the tensor-parallel layout.
+    Leaf specs are keyed by the innermost dict key along each path."""
+    from jax.tree_util import tree_map_with_path, DictKey
+
+    def place(path, leaf):
+        key = None
+        for entry in reversed(path):
+            if isinstance(entry, DictKey):
+                key = str(entry.key)
+                break
+        spec = _tp_spec(key, getattr(leaf, "ndim", 0)) if key else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return tree_map_with_path(place, tree)
+
+
 def initialize_distributed(coordinator: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None,

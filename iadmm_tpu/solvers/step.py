@@ -48,10 +48,16 @@ def _matvec_cast(M, v, mode: Optional[str]):
 def bmv(M: jax.Array, v: jax.Array, mode: Optional[str] = None) -> jax.Array:
     """Batched matvec: (B,i,j),(B,j)->(B,i).
 
+    A 2-D ``M`` is diagonal storage — ``(B, n)`` holding diag(M) — and the
+    matvec is an elementwise VPU product (the harness preloads diagonal-Q
+    families this way: n² → n resident bytes and traffic per instance).
+
     ``mode``: None/'highest' = native-dtype HIGHEST (torch-parity numerics),
     'default' = one-pass TPU f32, 'bf16' = bf16 operands + f32 accumulate
     (fast inference profile — halves HBM traffic of the KKT matvecs).
     """
+    if M.ndim == 2:
+        return M.astype(v.dtype) * v
     M, v, prec, pet = _matvec_cast(M, v, mode)
     return jnp.einsum("bij,bj->bi", M, v, precision=prec,
                       preferred_element_type=pet)
@@ -59,6 +65,8 @@ def bmv(M: jax.Array, v: jax.Array, mode: Optional[str] = None) -> jax.Array:
 
 def bmv_t(M: jax.Array, v: jax.Array, mode: Optional[str] = None) -> jax.Array:
     """Batched transposed matvec: (B,i,j),(B,i)->(B,j)."""
+    if M.ndim == 2:            # diagonal storage: symmetric
+        return M.astype(v.dtype) * v
     M, v, prec, pet = _matvec_cast(M, v, mode)
     return jnp.einsum("bij,bi->bj", M, v, precision=prec,
                       preferred_element_type=pet)

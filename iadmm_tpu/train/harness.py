@@ -351,16 +351,39 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
             matvec_mode=None if cfg.matvec_mode == "highest"
             else cfg.matvec_mode)
 
-    # Data-parallel mesh over the instance batch (SURVEY.md §2.4): XLA
-    # inserts the gradient all-reduce over ICI when the loss mean crosses
-    # the sharded axis.
+    # Device mesh (SURVEY.md §2.4): instance batch over 'data' (XLA inserts
+    # the gradient all-reduce over ICI when the loss mean crosses the
+    # sharded axis) and, with model_devices>1, the LSTM hidden/gate axes
+    # over 'model' (dist.tp_shard_params layout).
     from .. import dist
     ndev = min(cfg.num_devices or len(jax.devices()), len(jax.devices()))
-    while ndev > 1 and cfg.batch_size % ndev:
-        ndev -= 1
-    mesh = dist.make_mesh(ndev) if ndev > 1 else None
-    if verbose and mesh is not None:
-        print(f"data-parallel over {ndev} devices")
+    mp = max(1, cfg.model_devices)
+    if mp > 1:
+        if cfg.train_backend == "fused":
+            raise ValueError("model_devices>1: the fused training megakernel "
+                             "is data-parallel only (shard_map over 'data')")
+        if cfg.sparse:
+            raise ValueError("model_devices>1 is not supported with sparse")
+        if cfg.use_pallas:
+            raise ValueError("model_devices>1 requires the XLA cell "
+                             "(use_pallas=False): the per-step Pallas kernel "
+                             "is not partitionable over 'model'")
+        if ndev < mp or cfg.hidden_dim % mp:
+            raise ValueError(f"model_devices={mp} needs {mp}+ devices and "
+                             f"hidden_dim divisible by it")
+        dp = ndev // mp
+        while dp > 1 and cfg.batch_size % dp:
+            dp -= 1
+        ndev = dp * mp
+        mesh = dist.make_mesh(ndev, model_axis=mp)
+        if verbose:
+            print(f"mesh: data={dp} x model={mp}")
+    else:
+        while ndev > 1 and cfg.batch_size % ndev:
+            ndev -= 1
+        mesh = dist.make_mesh(ndev) if ndev > 1 else None
+        if verbose and mesh is not None:
+            print(f"data-parallel over {ndev} devices")
 
     # Sparse problem-data route: BCOO solver matvecs (kernels/sparse).
     # Per-batch host conversion; validation metrics stay dense.
@@ -458,8 +481,12 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     epochs_run = 0
 
     if mesh is not None:
-        params = dist.replicate(params, mesh)
-        opt_state = dist.replicate(opt_state, mesh)
+        if "model" in mesh.axis_names:
+            params = dist.tp_shard_params(params, mesh)
+            opt_state = dist.tp_shard_params(opt_state, mesh)
+        else:
+            params = dist.replicate(params, mesh)
+            opt_state = dist.replicate(opt_state, mesh)
 
     # Preload + pre-scale the whole train split on device ONCE (scaled-only,
     # chunk-written — see module docstring).  The reference re-reads,

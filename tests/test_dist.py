@@ -108,6 +108,46 @@ def test_harness_trains_sharded(tmp_path):
     assert np.isfinite(res.history[-1]["train_loss"])
 
 
+def test_harness_trains_tensor_parallel(tmp_path):
+    """model_devices=2 over the 8-device mesh (data=4 x model=2) matches
+    the single-device loss history: the TP layout only changes WHERE the
+    gate matmuls run, GSPMD's collectives must not change the math."""
+    from iadmm_tpu.config import ExperimentConfig
+    from iadmm_tpu.problems import generators
+
+    ds = generators.generate("QP", num_var=12, num_ineq=6, num_eq=6,
+                             data_size=24, seed=11)
+    kw = dict(prob_type="QP", num_var=12, num_ineq=6, num_eq=6,
+              data_size=24, hidden_dim=8, outer_T=4, truncated_length=2,
+              batch_size=4, lr=1e-3, num_epoch=2, val_frac=0.2,
+              test_frac=0.2, eq_tol=1e9, preload="never")
+    res_tp = harness.train(
+        ExperimentConfig(num_devices=8, model_devices=2,
+                         save_dir=str(tmp_path / "tp"), **kw),
+        ds, verbose=False)
+    res_1 = harness.train(
+        ExperimentConfig(num_devices=1, save_dir=str(tmp_path / "sd"), **kw),
+        ds, verbose=False)
+    l_tp = [h["train_loss"] for h in res_tp.history]
+    l_1 = [h["train_loss"] for h in res_1.history]
+    np.testing.assert_allclose(l_tp, l_1, rtol=1e-4)
+
+
+def test_tp_shard_params_layout():
+    """Gate weights land split over 'model'; schedules stay replicated."""
+    mesh = dist.make_mesh(8, model_axis=2)
+    params = lstm_init(jax.random.PRNGKey(0), 2, 8, length=4)
+    sharded = dist.tp_shard_params(params, mesh)
+    assert not sharded["U"].sharding.is_fully_replicated
+    assert not sharded["W_h"].sharding.is_fully_replicated
+    assert sharded["rho"].sharding.is_fully_replicated
+    # optax-style nested state with the same dict keys gets the same layout
+    nested = {"mu": {k: jnp.zeros_like(v) for k, v in params.items()}}
+    sh2 = dist.tp_shard_params(nested, mesh)
+    assert not sh2["mu"]["U"].sharding.is_fully_replicated
+    assert sh2["mu"]["rho"].sharding.is_fully_replicated
+
+
 def test_remat_chunk_matches_no_remat():
     data, params, st = _data_and_params()
 
