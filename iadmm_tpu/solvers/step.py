@@ -207,10 +207,30 @@ def gd_step(params, t, state, data, sigma) -> IterState:
     return IterState(x=x, y=y, z=z, xv=xv, H=state.H, C=state.C)
 
 
+def indirect_system(data: QPBatch, x, y, z, sigma, rho_vec):
+    """The reduced (normal-equation) system of the indirect variant:
+    ``(matvec_M, rhs)`` with  M = Q + σI + A0ᵀdiag(ρ)A0  and
+    rhs = σx − p + A0ᵀ(ρ∘z − y).
+
+    This is exactly the Schur complement of the direct KKT system
+    (models/lstm.py:67-69): eliminating ν from
+    ``[[Q+σI, A0ᵀ], [A0, −diag(1/ρ)]]·[x̃;ν] = [σx−p; z−y/ρ]`` via
+    ν = ρ∘(A0x̃ − z) + y gives  M x̃ = rhs, and the direct z̃-update
+    z + (ν−y)/ρ collapses to A0·x̃ — the property test
+    (tests/test_step_equivalence.py) pins the reconstruction to this
+    identity instead of the deleted reference source."""
+
+    def matvec_M(v):
+        return (bmv(data.Q, v) + sigma * v
+                + bmv_t(data.A0, rho_vec * bmv(data.A0, v)))
+
+    rhs = sigma * x - data.p + bmv_t(data.A0, rho_vec * z - y)
+    return matvec_M, rhs
+
+
 def indirect_lstm_step(params, t, state, data, sigma) -> IterState:
     """Ghost indirect variant: LSTM over the n variable tokens of the reduced
-    (normal-equation) system  M x̃ = rhs  with
-    M = Q + σI + A0ᵀdiag(ρ)A0, rhs = σx − p + A0ᵀ(ρ∘z − y)
+    (normal-equation) system  M x̃ = rhs  (see :func:`indirect_system`)
     (models/indirect_lstm.py; behavioural reconstruction from bytecode).
     State convention: ``xv[:, :n]`` carries x̃; H/C are sized (B, n+m, h) for
     harness uniformity but only the first n tokens are used.
@@ -218,13 +238,8 @@ def indirect_lstm_step(params, t, state, data, sigma) -> IterState:
     n = data.num_var
     rho_vec, alpha = _schedules(params, t, data.eq_mask)
     x_t = state.xv[:, :n]
-
-    def matvec_M(v):
-        return (bmv(data.Q, v) + sigma * v
-                + bmv_t(data.A0, rho_vec * bmv(data.A0, v)))
-
-    rhs = sigma * state.x - data.p + bmv_t(data.A0,
-                                           rho_vec * state.z - state.y)
+    matvec_M, rhs = indirect_system(data, state.x, state.y, state.z,
+                                    sigma, rho_vec)
     r = matvec_M(x_t) - rhs
     g = matvec_M(r)
     inputs = jnp.stack([x_t, g], axis=-1)

@@ -176,14 +176,37 @@ def make_val_fn(step_fn, outer_T: int, sigma: float, hidden_dim: int):
 _SOLVER_FIELDS = ("Q", "p", "A0", "zl", "zu")
 
 
+def dataset_q_is_diagonal(ds: RawDataset, chunk: int = 8) -> bool:
+    """True when every instance Hessian is diagonal (QP / QP_RHS families:
+    Q = diag(U[0,1]), reference generate_data.py:38,67).  One chunked host
+    pass; Ruiz scaling preserves diagonality (Q̄ = cost·D Q D), so a
+    diagonal dataset can be preloaded as (…, n) vectors instead of
+    (…, n, n) matrices — n²→n resident HBM for the dominant leaf."""
+    Q = ds.Q
+    n = Q.shape[-1]
+    if Q.ndim != 3 or Q.shape[-2] != n:
+        return False
+    idx = np.arange(n)
+    for s in range(0, Q.shape[0], chunk):
+        blk = np.array(Q[s:s + chunk])
+        blk[:, idx, idx] = 0.0
+        if np.any(blk):
+            return False
+    return True
+
+
 def train_stack_bytes(ds: RawDataset, n_used: int,
-                      dtype_bytes: int = 4) -> int:
+                      dtype_bytes: int = 4, diag_q: bool = False) -> int:
     """Device bytes of the scaled-only train stack (one copy; shared leaves
-    counted once — QP_RHS stores a single (Q, p, A0))."""
+    counted once — QP_RHS stores a single (Q, p, A0); ``diag_q`` counts the
+    Hessian as its f32 diagonal)."""
     total = 0
     for name in _SOLVER_FIELDS:
         a = getattr(ds, name)
         lead = 1 if a.shape[0] == 1 else n_used
+        if name == "Q" and diag_q:
+            total += 4 * lead * a.shape[-1]
+            continue
         total += dtype_bytes * lead * int(np.prod(a.shape[1:]))
     total += n_used * ds.zl.shape[-1]  # eq_mask (bool)
     return total
@@ -206,7 +229,7 @@ def device_memory_budget(default: float = 4e9, frac: float = 0.6) -> float:
 
 def preload_train_stack(ds: RawDataset, ids: np.ndarray, n_batches: int,
                         batch_size: int, cfg: ExperimentConfig, scale_jit,
-                        mesh=None):
+                        mesh=None, diag_q: bool = False):
     """Build the on-device (n_batches, B, ...)-stacked **scaled** train
     split, one chunk at a time with buffer donation so peak HBM stays at
     ~one copy (+ one chunk).
@@ -216,7 +239,11 @@ def preload_train_stack(ds: RawDataset, ids: np.ndarray, n_batches: int,
     (QP_RHS) are (1, 1, ...); ``cost_stack`` is the per-instance Ruiz cost
     factor (or None when scaling is off), for unscaling the reported
     objective.  Q/A0 are stored in ``cfg.preload_dtype`` — ``bfloat16``
-    halves the resident bytes and matches the bf16 matvec profile."""
+    halves the resident bytes and matches the bf16 matvec profile.
+
+    ``diag_q=True`` (caller verified every Hessian is diagonal) stores Q as
+    its f32 diagonal, (…, n); ``bmv``/``bmv_t`` treat 2-D operands as
+    diagonal so the whole step/loss/metric path consumes it unchanged."""
     B = batch_size
     n_used = n_batches * B
     store_dtype = jnp.bfloat16 if cfg.preload_dtype == "bfloat16" \
@@ -246,7 +273,9 @@ def preload_train_stack(ds: RawDataset, ids: np.ndarray, n_batches: int,
             src = one
         for k in ("Q", "p", "A0"):
             v = getattr(src, k)
-            if k in ("Q", "A0"):
+            if k == "Q" and diag_q:
+                v = jnp.diagonal(v, axis1=-2, axis2=-1)
+            elif k in ("Q", "A0"):
                 v = v.astype(store_dtype)
             shared_leaves[k] = v[None]  # (1, 1, ...)
 
@@ -256,7 +285,8 @@ def preload_train_stack(ds: RawDataset, ids: np.ndarray, n_batches: int,
             "zu": ((n_batches, B, m), jnp.float32),
             "eq_mask": ((n_batches, B, m), jnp.bool_)}
     if not shared_leaves:
-        spec.update({"Q": ((n_batches, B, n, n), store_dtype),
+        spec.update({"Q": ((n_batches, B, n), jnp.float32) if diag_q
+                     else ((n_batches, B, n, n), store_dtype),
                      "p": ((n_batches, B, n), jnp.float32),
                      "A0": ((n_batches, B, m, n), store_dtype)})
         if cfg.scaling:
@@ -292,6 +322,8 @@ def preload_train_stack(ds: RawDataset, ids: np.ndarray, n_batches: int,
             else:
                 chunk = dict(Q=orig.Q, p=orig.p, A0=orig.A0, zl=orig.zl,
                              zu=orig.zu, eq_mask=orig.eq_mask)
+        if diag_q and chunk.get("Q") is not None and chunk["Q"].ndim == 3:
+            chunk["Q"] = jnp.diagonal(chunk["Q"], axis1=-2, axis2=-1)
         chunk = {k: maybe_shard(v.reshape((nb, B) + v.shape[1:]))
                  for k, v in chunk.items() if k in buf}
         buf = write(buf, chunk, jnp.asarray(s, jnp.int32))
@@ -496,16 +528,23 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     n_used = n_batches * cfg.batch_size
     stacked = cost_stack = None
     dtype_bytes = 2 if cfg.preload_dtype == "bfloat16" else 4
-    train_bytes = train_stack_bytes(ds, n_used, dtype_bytes)
+    # Diagonal-Hessian families (QP / QP_RHS) preload Q as (…, n) vectors —
+    # the in-kernel paths (fused training backend) need the dense matrix, so
+    # they keep dense storage.
+    diag_q = (not cfg.sparse and cfg.preload != "never"
+              and cfg.train_backend != "fused"
+              and dataset_q_is_diagonal(ds))
+    train_bytes = train_stack_bytes(ds, n_used, dtype_bytes, diag_q=diag_q)
     if not cfg.sparse and (
             cfg.preload == "always" or (cfg.preload == "auto" and
                                         train_bytes < device_memory_budget())):
         stacked, cost_stack = preload_train_stack(
             ds, train_ids[:n_used], n_batches, cfg.batch_size, cfg,
-            scale_jit, mesh=mesh)
+            scale_jit, mesh=mesh, diag_q=diag_q)
         if verbose:
             print(f"preloaded train split: {train_bytes / 1e9:.2f} GB "
-                  f"scaled-only on device")
+                  f"scaled-only on device"
+                  + (" (diagonal-Q storage)" if diag_q else ""))
 
     # Whole-epoch compiled scan (one dispatch per epoch) when preloaded.
     # Only worth the larger compile when there are enough batches for the

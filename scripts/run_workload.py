@@ -108,6 +108,13 @@ def main():
     summary = dict(family=args.family, config=cfg.to_dict(),
                    dataset=path, n_instances=int(ds.size))
 
+    def flush_summary():
+        # Written after every phase so a hung eval (e.g. a lost async fetch
+        # on the tunnel) cannot lose the training evidence.
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1)
+
     if not args.skip_train:
         t0 = time.time()
         res = harness.train(cfg, ds, verbose=True)
@@ -123,6 +130,7 @@ def main():
             history_tail=res.history[-5:],
             checkpoint=res.checkpoint_path)
         params = res.params
+        flush_summary()
     else:
         path_ck = ckpt.checkpoint_path(cfg.save_dir, cfg.model_name,
                                        cfg.run_name())
@@ -145,9 +153,7 @@ def main():
             dual_res=float(rep.stage2.dual_res[-1]),
             time_per_instance=rep.stage2.parallel_time)
 
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    with open(out_path, "w") as f:
-        json.dump(summary, f, indent=1)
+    flush_summary()
     print("summary ->", out_path, flush=True)
 
 

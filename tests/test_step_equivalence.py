@@ -130,3 +130,39 @@ def test_gru_and_variants_run(tiny_qp):
             assert np.all(np.isfinite(np.asarray(leaf)))
         if name == "safeguard_lstm":
             assert "alpha" not in params
+
+
+def test_indirect_system_is_kkt_schur_complement(tiny_qp):
+    """Pins the indirect (normal-equation) reconstruction to the direct KKT
+    system (VERDICT round-1 weak item): eliminating the dual block ν from
+    Ã·[x̃;ν] = b̃ must give exactly the indirect step's M x̃ = rhs, and the
+    direct z̃-update z + (ν−y)/ρ must collapse to the indirect step's
+    z̃ = A0·x̃.  Solving both systems exactly therefore yields identical
+    (x̃, z̃) — the reconstruction is the same algorithm in reduced form."""
+    data = io.to_qp_batch(tiny_qp, dtype=jnp.float64)
+    _, params, st = _setup(io.to_qp_batch(tiny_qp, dtype=jnp.float64))
+    rho_vec = step_mod.rho_vector(jnp.float64(0.3), data.eq_mask)
+    n = data.num_var
+
+    # direct KKT solve
+    A_tild = exact.build_kkt(data, SIGMA, rho_vec)
+    b_tild = jnp.concatenate([SIGMA * st.x - data.p,
+                              st.z - st.y / rho_vec], axis=-1)
+    xv = jnp.linalg.solve(A_tild, b_tild[..., None])[..., 0]
+    x_dir, nu = xv[:, :n], xv[:, n:]
+    z_dir = st.z + (nu - st.y) / rho_vec
+
+    # indirect (reduced) solve via the step's own system builder
+    matvec_M, rhs = step_mod.indirect_system(data, st.x, st.y, st.z,
+                                             SIGMA, rho_vec)
+    # materialize M column-by-column through the matvec closure
+    eye = jnp.eye(n, dtype=jnp.float64)
+    M = jnp.stack([matvec_M(jnp.broadcast_to(eye[i], (data.batch, n)))
+                   for i in range(n)], axis=-1)
+    x_ind = jnp.linalg.solve(M, rhs[..., None])[..., 0]
+    z_ind = jnp.einsum("bij,bj->bi", data.A0, x_ind)
+
+    assert np.allclose(np.asarray(x_ind), np.asarray(x_dir),
+                       rtol=1e-8, atol=1e-10)
+    assert np.allclose(np.asarray(z_ind), np.asarray(z_dir),
+                       rtol=1e-8, atol=1e-10)
