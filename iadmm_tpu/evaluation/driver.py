@@ -169,11 +169,17 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
     warm = to_qp_batch(ds, test_ids[:bs])
     if mesh is not None:
         warm = dist.shard_batch(warm, mesh)
+    if verbose:
+        print(f"run_test: compiling eval batch (B={bs}, T={T}) ...",
+              flush=True)
     w_scaled, w_sc = prep(warm)
     w_st, _ = eval_batch(params, w_scaled, warm, w_sc)
     if cfg.feas_rest:
         stage2_batch(params, w_st, warm, w_sc)
     _fetch(w_st.x)
+    if verbose:
+        print(f"run_test: warm-up done; {n_batches} timed batches",
+              flush=True)
 
     traces: List[Dict] = []
     s2_traces: List[Dict] = []
@@ -201,6 +207,9 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
                 st, trace = eval_batch(params, data_orig, data_orig, None)
         _fetch(st.x)
         total_time += time.perf_counter() - t0
+        if verbose:
+            print(f"run_test: batch {bi + 1}/{n_batches} "
+                  f"({total_time:.2f}s cumulative)", flush=True)
         traces.append(_trace_to_numpy(trace))
         if cfg.feas_rest:
             # Stage II is part of the reference's timed region

@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--feas_rest", action="store_true")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate the existing checkpoint only")
+    ap.add_argument("--train_backend", default=None,
+                    choices=["step", "fused"],
+                    help="override the training backend (default: step)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -101,6 +104,8 @@ def main():
         scaling=True, use_pallas=True, gate_dtype="bfloat16",
         matvec_mode="bf16", resume=args.resume,
         feas_rest=args.feas_rest, feas_rest_num=20,
+        **({"train_backend": args.train_backend}
+           if args.train_backend else {}),
         save_dir="results/canonical", ineq_tol=w["eq_tol"],
         **{k: v for k, v in w.items() if k != "ineq_tol"})
 
