@@ -271,8 +271,15 @@ def _bwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
         db[...] = jnp.zeros_like(db)
         dWh[...] = jnp.zeros_like(dWh)
         dbh[...] = jnp.zeros_like(dbh)
-        drho[...] = jnp.zeros_like(drho)
-        dalpha[...] = jnp.zeros_like(dalpha)
+
+        # drho/dalpha live in SMEM: Mosaic only lowers SCALAR stores to SMEM
+        # inside a cond branch, so zero them element-wise (J is small).
+        def zero_sched(i, _):
+            drho[0, i] = 0.0
+            dalpha[0, i] = 0.0
+            return 0
+
+        jax.lax.fori_loop(0, J, zero_sched, 0, unroll=True)
 
     dH[...] = dh_in[0]
     dC[...] = dc_in[0]
