@@ -15,10 +15,13 @@ if [ -n "$WAIT_PID" ]; then
 fi
 
 # Training-step micro-bench first: ~10 min of chip (2 compiles + reps),
-# records artifacts/train_bench.json for BASELINE.
-echo "[queue] ==== bench_train start $(date) ===="
-timeout 2400 python scripts/bench_train.py --reps 5 > /tmp/bench_train.log 2>&1
-echo "[queue] ==== bench_train exit=$? end $(date) ===="
+# records artifacts/train_bench.json for BASELINE.  SKIP_BENCH=1 skips it
+# (e.g. when it was already run directly this session).
+if [ "${SKIP_BENCH:-0}" != "1" ]; then
+  echo "[queue] ==== bench_train start $(date) ===="
+  timeout 2400 python scripts/bench_train.py --reps 5 > /tmp/bench_train.log 2>&1
+  echo "[queue] ==== bench_train exit=$? end $(date) ===="
+fi
 
 declare -A HOURS=(
   [Equality_QP]=1.2 [QP_RHS]=1.0 [SVM]=0.8
@@ -38,10 +41,17 @@ dataset_file() {
 }
 
 run_family() {
-  local fam="$1" budget="$2" ds
+  local fam="$1" budget="$2" ds waited
   ds=$(dataset_file "$fam")
+  # wait up to DS_WAIT_MIN (default 90) minutes for the generator to land it
+  waited=0
+  while [ ! -f "$ds" ] && [ "$waited" -lt "${DS_WAIT_MIN:-90}" ]; do
+    [ $((waited % 10)) -eq 0 ] && \
+      echo "[queue] $fam: waiting for $ds (${waited}m)"
+    sleep 120; waited=$((waited + 2))
+  done
   if [ ! -f "$ds" ]; then
-    echo "[queue] $fam: dataset $ds missing, skipping for now"
+    echo "[queue] $fam: dataset $ds missing after ${waited}m, skipping"
     return 1
   fi
   # guard against a partially-written npz (generator still running)

@@ -27,15 +27,19 @@ WORKLOADS = {
     "QP": dict(prob_type="QP", num_var=1000, num_ineq=500, num_eq=500,
                outer_T=100, truncated_length=100, hidden_dim=800,
                eq_tol=0.2, preload_dtype="bfloat16"),
+    # feas_rest=True on the families whose canonical --test command runs
+    # Stage II (reference: scripts/Synthetic.sh:11,16,21).
     "QP_1500": dict(prob_type="QP", num_var=1500, num_ineq=750, num_eq=750,
                     outer_T=100, truncated_length=100, hidden_dim=800,
-                    eq_tol=0.2, preload_dtype="bfloat16", remat=True),
+                    eq_tol=0.2, preload_dtype="bfloat16", remat=True,
+                    feas_rest=True),
     "QP_RHS": dict(prob_type="QP_RHS", num_var=1000, num_ineq=500,
                    num_eq=500, outer_T=100, truncated_length=100,
-                   hidden_dim=400, eq_tol=0.2),
+                   hidden_dim=400, eq_tol=0.2, feas_rest=True),
     "QP_RHS_1500": dict(prob_type="QP_RHS", num_var=1500, num_ineq=750,
                         num_eq=750, outer_T=150, truncated_length=150,
-                        hidden_dim=400, eq_tol=0.2, remat=True),
+                        hidden_dim=400, eq_tol=0.2, remat=True,
+                        feas_rest=True),
     "Equality_QP": dict(prob_type="Equality_QP", num_var=1000, num_eq=500,
                         outer_T=400, truncated_length=200, hidden_dim=200,
                         eq_tol=0.5, remat=True),
@@ -71,8 +75,9 @@ def main():
     from iadmm_tpu.evaluation.driver import run_test
 
     w = dict(WORKLOADS[args.family])
+    feas_rest = args.feas_rest or w.pop("feas_rest", False)
     print("backend:", jax.default_backend(), "| workload:", args.family,
-          flush=True)
+          "| feas_rest:", feas_rest, flush=True)
 
     # Dataset: cached stacked .npz under ./datasets, generated + oracle-
     # labeled once (reference: generate_data.py, eps=1e-4 protocol).
@@ -103,7 +108,7 @@ def main():
         test_outer_T=w["outer_T"], test_batch_size=10,
         scaling=True, use_pallas=True, gate_dtype="bfloat16",
         matvec_mode="bf16", resume=args.resume,
-        feas_rest=args.feas_rest, feas_rest_num=20,
+        feas_rest=feas_rest, feas_rest_num=20,
         **({"train_backend": args.train_backend}
            if args.train_backend else {}),
         save_dir="results/canonical", ineq_tol=w["eq_tol"],
