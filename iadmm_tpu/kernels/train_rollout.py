@@ -5,7 +5,7 @@ The per-step training path (XLA scan + per-step Pallas cell) pays, every
 ADMM iteration, the HBM round trip of the recurrent state and the saved
 gate activations between forward and backward.  Here a TBPTT chunk is split
 into segments of ``J`` iterations; each segment runs as ONE kernel with
-everything VMEM-resident:
+the hot state VMEM-resident:
 
   * forward segment kernel: J learned iterations (bf16 matvecs against the
     resident Q/A0, bf16-MXU gates with f32 accumulation, f32 H/C carries —
@@ -17,6 +17,20 @@ everything VMEM-resident:
     checkpoint (H stored as-cast bf16 — the exact operand the gate matmuls
     consume — C in f32), then runs the reverse sweep in VMEM, accumulating
     the weight gradients across the J steps and the B grid instances.
+
+VMEM discipline (the real-TPU compiler budget is 128 MB/core):
+
+  * The ``(S, hidden)`` recurrent state and its cotangents move through the
+    kernels as ``pl.ANY`` (HBM-resident) operands with explicit DMA into
+    the carry scratch buffers — NOT as grid-windowed VMEM operands, whose
+    automatic double buffering alone would blow the budget at the flagship
+    shape (2 x 2 x 7 MB per state array).
+  * The LSTM gate math is tiled over the token axis S with one gate
+    quarter live at a time; the full ``(S, 4h)`` pre-activation tensor
+    (26 MB at flagship) never exists, which is what kept the register
+    allocator from spilling ~45 MB of vector state.
+  * The backward reuses the forward-recompute H/C carries as the dH/dC
+    reverse-sweep carries (disjoint live ranges).
 
 Loss convention matches rollouts.chunk_loss with ``loss_mode='bf16'``:
 the residual matvecs of the loss use the same bf16 operands as the solver
@@ -32,7 +46,6 @@ boundaries, reference: main.py:353-358).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +58,14 @@ from ..types import IterState, QPBatch
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _tile_rows(S: int) -> int:
+    """Token-axis tile: S is always a multiple of 128 (n, m each padded)."""
+    for r in (512, 256, 128):
+        if S % r == 0:
+            return r
+    return S
 
 
 def _sig(v):
@@ -78,6 +99,47 @@ def _mv_maker(Q, A0, cdt):
     return mv_q, mv_a0, mv_a0t
 
 
+def _cell_update_tiled(H_s, C_s, xv_col, g_col, d_col,
+                       w_ref, u_ref, b_ref, wh_ref,
+                       S: int, h: int, cdt):
+    """One LSTM cell application, tiled over the token axis.
+
+    Updates the H/C carry scratches in place (each tile owns its rows) and
+    writes delta = H_new @ W_h into ``d_col``.  Gate quarters are computed
+    and consumed one at a time so at most a few (R, h) values are live.
+    Numerics identical to the monolithic (S, 4h) formulation: same
+    elementwise expression tree, same f32-accumulated bf16 matmuls.
+    """
+    R = _tile_rows(S)
+
+    def tile(i, _):
+        rows = pl.ds(i * R, R)
+        xv_t = xv_col[rows]               # (R, 1)
+        g_t = g_col[rows]
+        H_t = H_s[rows].astype(cdt)       # the bf16 gate operand
+
+        def pre(q):
+            return (xv_t * w_ref[0:1, pl.ds(q * h, h)]
+                    + g_t * w_ref[1:2, pl.ds(q * h, h)]
+                    + jax.lax.dot_general(
+                        H_t, u_ref[:, pl.ds(q * h, h)],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    + b_ref[:, pl.ds(q * h, h)])
+
+        acc = _sig(pre(0)) * _tanh(pre(3))            # i * u
+        C_new = acc + _sig(pre(1)) * C_s[rows]        # + f * C
+        H_new = _sig(pre(2)) * _tanh(C_new)           # o * tanh(C')
+        C_s[rows] = C_new
+        H_s[rows] = H_new
+        d_col[rows] = jax.lax.dot_general(
+            H_new.astype(cdt), wh_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, S // R, tile, 0, unroll=False)
+
+
 # ---------------------------------------------------------------------------
 # Forward segment kernel
 # ---------------------------------------------------------------------------
@@ -88,10 +150,11 @@ def _fwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
                     w_ref, u_ref, b_ref, wh_ref, bh_ref,
                     x_out, y_out, z_out, xv_out, h_out, c_out,
                     pr_out, dr_out,
-                    H, C, xv, g_col, x_r, y_r, z_r,
+                    H, C, xv, g_col, d_col, x_r, y_r, z_r, sem,
                     *, n: int, m: int, hidden: int, J: int, sigma: float,
                     cdt=jnp.bfloat16):
     S = n + m
+    b_idx = pl.program_id(0)
     Q = q_ref[0]
     A0 = a0_ref[0]
     p = p_ref[0]
@@ -100,13 +163,20 @@ def _fwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
     rhom = rhom_ref[0]
     mv_q, mv_a0, mv_a0t = _mv_maker(Q, A0, cdt)
 
-    H[...] = h0_ref[0]
-    C[...] = c0_ref[0]
-    xv[...] = xv0_ref[0]
+    # recurrent state stays in HBM between segments; DMA this instance's
+    # slice into the VMEM carries (windowing it would double-buffer 2x7 MB
+    # per array at flagship shape).  hidden is pre-padded to a 128 multiple
+    # host-side — Mosaic requires DMA slices lane-aligned.
+    cp_h = pltpu.make_async_copy(h0_ref.at[b_idx], H, sem.at[0])
+    cp_c = pltpu.make_async_copy(c0_ref.at[b_idx], C, sem.at[1])
+    cp_h.start()
+    cp_c.start()
     x_r[...] = x0_ref[0]
     y_r[...] = y0_ref[0]
     z_r[...] = z0_ref[0]
-    h = hidden
+    xv[...] = xv0_ref[0]
+    cp_h.wait()
+    cp_c.wait()
 
     def step(k, _):
         t = tb_ref[0, 0] + k
@@ -128,24 +198,9 @@ def _fwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
         g_col[0:n, :] = g1.reshape(n, 1)
         g_col[n:S, :] = g2.reshape(m, 1)
 
-        gates = (xv[:] * w_ref[0:1, :] + g_col[:] * w_ref[1:2, :]
-                 + jax.lax.dot_general(
-                     H[:].astype(cdt), u_ref[:],
-                     (((1,), (0,)), ((), ())),
-                     preferred_element_type=jnp.float32)
-                 + b_ref[:])
-        i_t = _sig(gates[:, 0 * h:1 * h])
-        f_t = _sig(gates[:, 1 * h:2 * h])
-        o_t = _sig(gates[:, 2 * h:3 * h])
-        u_t = _tanh(gates[:, 3 * h:4 * h])
-        C_new = i_t * u_t + f_t * C[:]
-        H_new = o_t * _tanh(C_new)
-        delta = jax.lax.dot_general(
-            H_new.astype(cdt), wh_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bh_ref[:]
-        H[...] = H_new
-        C[...] = C_new
-        xv[...] = xv[:] - delta
+        _cell_update_tiled(H, C, xv, g_col, d_col,
+                           w_ref, u_ref, b_ref, wh_ref, S, hidden, cdt)
+        xv[...] = xv[:] - (d_col[:] + bh_ref[:])
 
         x_t = xv[0:n, :].reshape(1, n)
         v = xv[n:S, :].reshape(1, m)
@@ -169,8 +224,12 @@ def _fwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
     y_out[0] = y_r[:]
     z_out[0] = z_r[:]
     xv_out[0] = xv[:]
-    h_out[0] = H[:]
-    c_out[0] = C[:]
+    co_h = pltpu.make_async_copy(H, h_out.at[b_idx], sem.at[0])
+    co_c = pltpu.make_async_copy(C, c_out.at[b_idx], sem.at[1])
+    co_h.start()
+    co_c.start()
+    co_h.wait()
+    co_c.wait()
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +247,8 @@ def _bwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
                     dW, dU, db, dWh, dbh, drho, dalpha,
                     # scratch
                     Hs, Cs, xvs, xs, ys, zs,
-                    H, C, dH, dC, dxv, dx_r, dy_r, dz_r,
+                    sH, sC, dxv, xv_col, g_col, dg_col,
+                    dx_r, dy_r, dz_r, sem,
                     *, n: int, m: int, hidden: int, J: int, sigma: float,
                     cdt=jnp.bfloat16):
     S = n + m
@@ -200,53 +260,48 @@ def _bwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
     rhom = rhom_ref[0]
     mv_q, mv_a0, mv_a0t = _mv_maker(Q, A0, cdt)
     h = hidden
+    R = _tile_rows(S)
     b_idx = pl.program_id(0)
 
     # ---- forward recompute sweep: store pre-step states (H as the cdt
-    # operand the gate matmuls consume, C in f32; vectors are cheap) ----
-    H[...] = h0_ref[0]
-    C[...] = c0_ref[0]
-    xvs[0] = xv0_ref[0]
+    # operand the gate matmuls consume, C in f32; vectors are cheap).
+    # sH/sC serve as the H/C carries here and become the dH/dC reverse
+    # carries afterwards (disjoint live ranges, same 7 MB buffers). ----
+    cp_h = pltpu.make_async_copy(h0_ref.at[b_idx], sH, sem.at[0])
+    cp_c = pltpu.make_async_copy(c0_ref.at[b_idx], sC, sem.at[1])
+    cp_h.start()
+    cp_c.start()
     xs[0] = x0_ref[0]
     ys[0] = y0_ref[0]
     zs[0] = z0_ref[0]
+    xvs[0] = xv0_ref[0]
+    cp_h.wait()
+    cp_c.wait()
 
     def fstep(k, _):
         t = tb_ref[0, 0] + k
         rho_t = _sig(rho_ref[0, t])
         alpha_t = 2.0 * _sig(alpha_ref[0, t])
         rho_row = rho_t * rhom
-        Hs[k] = H[:].astype(cdt)
-        Cs[k] = C[:]
+        Hs[k] = sH[:].astype(cdt)
+        Cs[k] = sC[:]
         x = xs[k]
         y = ys[k]
         z = zs[k]
-        xv_k = xvs[k]
-        u_row = xv_k[0:n, :].reshape(1, n)
-        nu_row = xv_k[n:S, :].reshape(1, m)
+        xv_col[...] = xvs[k]
+        u_row = xv_col[0:n, :].reshape(1, n)
+        nu_row = xv_col[n:S, :].reshape(1, m)
         b1 = sigma * x - p
         r1 = mv_q(u_row) + sigma * u_row + mv_a0t(nu_row) - b1
         r2 = mv_a0(u_row) - (nu_row - y) / rho_row - z
         g1 = mv_q(r1) + sigma * r1 + mv_a0t(r2)
         g2 = mv_a0(r1) - r2 / rho_row
-        g_col = jnp.concatenate([g1.reshape(n, 1), g2.reshape(m, 1)], axis=0)
-        gates = (xv_k * w_ref[0:1, :] + g_col * w_ref[1:2, :]
-                 + jax.lax.dot_general(Hs[k], u_ref[:],
-                                       (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-                 + b_ref[:])
-        i_t = _sig(gates[:, 0 * h:1 * h])
-        f_t = _sig(gates[:, 1 * h:2 * h])
-        o_t = _sig(gates[:, 2 * h:3 * h])
-        u_t = _tanh(gates[:, 3 * h:4 * h])
-        C_new = i_t * u_t + f_t * C[:]
-        H_new = o_t * _tanh(C_new)
-        delta = jax.lax.dot_general(
-            H_new.astype(cdt), wh_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bh_ref[:]
-        H[...] = H_new
-        C[...] = C_new
-        xv_new = xv_k - delta
+        g_col[0:n, :] = g1.reshape(n, 1)
+        g_col[n:S, :] = g2.reshape(m, 1)
+
+        _cell_update_tiled(sH, sC, xv_col, g_col, dg_col,
+                           w_ref, u_ref, b_ref, wh_ref, S, h, cdt)
+        xv_new = xv_col[:] - (dg_col[:] + bh_ref[:])
         xvs[k + 1] = xv_new
         x_t = xv_new[0:n, :].reshape(1, n)
         v = xv_new[n:S, :].reshape(1, m)
@@ -260,8 +315,8 @@ def _bwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
         return 0
 
     jax.lax.fori_loop(0, J, fstep, 0, unroll=False)
-    Hs[J] = H[:].astype(cdt)
-    Cs[J] = C[:]
+    Hs[J] = sH[:].astype(cdt)
+    Cs[J] = sC[:]
 
     # ---- reverse sweep ----
     @pl.when(b_idx == 0)
@@ -281,12 +336,16 @@ def _bwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
 
         jax.lax.fori_loop(0, J, zero_sched, 0, unroll=True)
 
-    dH[...] = dh_in[0]
-    dC[...] = dc_in[0]
-    dxv[...] = dxv_in[0]
+    cp_h = pltpu.make_async_copy(dh_in.at[b_idx], sH, sem.at[0])
+    cp_c = pltpu.make_async_copy(dc_in.at[b_idx], sC, sem.at[1])
+    cp_h.start()
+    cp_c.start()
     dx_r[...] = dx_in[0]
     dy_r[...] = dy_in[0]
     dz_r[...] = dz_in[0]
+    dxv[...] = dxv_in[0]
+    cp_h.wait()
+    cp_c.wait()
 
     def bstep(kk, _):
         k = J - 1 - kk
@@ -305,10 +364,6 @@ def _bwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
         x_new = xs[k + 1]
         y_new = ys[k + 1]
         z_new = zs[k + 1]
-        H_k = Hs[k]        # bf16 (S, h)
-        C_k = Cs[k]        # f32
-        C_new = Cs[k + 1]
-        H_new_b = Hs[k + 1]
 
         u_row = xv_k[0:n, :].reshape(1, n)
         nu_row = xv_k[n:S, :].reshape(1, m)
@@ -356,79 +411,95 @@ def _bwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
         drho_vec = drho_vec - dz_t * (v - y) / (rho_row * rho_row)
 
         # ---- cell backward ----
-        dxv_new = dxv[:] + jnp.concatenate(
+        # dxv scratch := dxv_new; tiles then add their per-row gate terms.
+        dxv[...] = dxv[:] + jnp.concatenate(
             [dxt.reshape(n, 1), dv_.reshape(m, 1)], axis=0)
-        ddelta = -dxv_new                       # xv' = xv - delta
-        # delta = H' @ W_h + b_h
-        dH_new = dH[:] + jax.lax.dot_general(
-            ddelta.astype(cdt), wh_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dWh[...] += jax.lax.dot_general(
-            H_new_b, ddelta.astype(cdt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dbh[...] += jnp.sum(ddelta, axis=0, keepdims=True)
-        # H' = o * tanh(C'); C' = i*u + f*C (activations recomputed below)
-        tC = _tanh(C_new)
+        dbh[...] += jnp.sum(-dxv[:], axis=0, keepdims=True)
 
-        # recompute the KKT feature column for this step
+        # recompute the KKT feature column for this step (gate input)
         g_q1 = mv_q(r1) + sigma * r1 + mv_a0t(r2)
         g_q2 = mv_a0(r1) - r2 / rho_row
-        g_col = jnp.concatenate([g_q1.reshape(n, 1), g_q2.reshape(m, 1)],
-                                axis=0)
+        g_col[0:n, :] = g_q1.reshape(n, 1)
+        g_col[n:S, :] = g_q2.reshape(m, 1)
 
-        # Gate pre-activations per QUARTER ((S, h) at a time — the full
-        # (S, 4h) gates + dgates would not fit VMEM at flagship shapes).
-        def quarter_pre(q):
-            return (xv_k * w_ref[0:1, pl.ds(q * h, h)]
-                    + g_col * w_ref[1:2, pl.ds(q * h, h)]
-                    + jax.lax.dot_general(
-                        H_k, u_ref[:, pl.ds(q * h, h)],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    + b_ref[:, pl.ds(q * h, h)])
+        # Token-tiled gate backward: one quarter live at a time, weight
+        # grads contracted per tile, the recurrent cotangents written back
+        # into sH/sC (each tile owns its rows).
+        def tile(i, _):
+            rows = pl.ds(i * R, R)
+            ddel_t = -dxv[rows]                    # ddelta rows (R, 1)
+            xv_t = xvs[k, rows]
+            g_t = g_col[rows]
+            H_k_t = Hs[k, rows]                    # bf16 (R, h)
+            C_k_t = Cs[k, rows]
+            C_new_t = Cs[k + 1, rows]
+            tC = _tanh(C_new_t)
 
-        i_t = _sig(quarter_pre(0))
-        f_t = _sig(quarter_pre(1))
-        o_t = _sig(quarter_pre(2))
-        u_t = _tanh(quarter_pre(3))
-
-        do = dH_new * tC
-        dC_new = dC[:] + dH_new * o_t * (1.0 - tC * tC)
-        di = dC_new * u_t
-        du = dC_new * i_t
-        df = dC_new * C_k
-        dC[...] = dC_new * f_t
-
-        # dpre per quarter, immediately contracted into the weight grads,
-        # the recurrent cotangent dH, and the input cotangents.
-        dxv_k = dxv_new
-        dg = jnp.zeros_like(dxv_new)
-        dH_acc = jnp.zeros_like(dC_new)
-        for q, dpre in enumerate((di * i_t * (1.0 - i_t),
-                                  df * f_t * (1.0 - f_t),
-                                  do * o_t * (1.0 - o_t),
-                                  du * (1.0 - u_t * u_t))):
-            dpre_b = dpre.astype(cdt)
-            dU[:, pl.ds(q * h, h)] += jax.lax.dot_general(
-                H_k, dpre_b, (((0,), (0,)), ((), ())),
+            # delta = H' @ W_h + b_h
+            dH_new = sH[rows] + jax.lax.dot_general(
+                ddel_t.astype(cdt), wh_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            db[:, pl.ds(q * h, h)] += jnp.sum(dpre, axis=0, keepdims=True)
-            dW[0:1, pl.ds(q * h, h)] += jnp.sum(xv_k * dpre, axis=0,
-                                                keepdims=True)
-            dW[1:2, pl.ds(q * h, h)] += jnp.sum(g_col * dpre, axis=0,
-                                                keepdims=True)
-            dH_acc = dH_acc + jax.lax.dot_general(
-                dpre_b, u_ref[:, pl.ds(q * h, h)], (((1,), (1,)), ((), ())),
+            dWh[...] += jax.lax.dot_general(
+                Hs[k + 1, rows], ddel_t.astype(cdt), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            dxv_k = dxv_k + jnp.sum(dpre * w_ref[0:1, pl.ds(q * h, h)],
-                                    axis=1, keepdims=True)
-            dg = dg + jnp.sum(dpre * w_ref[1:2, pl.ds(q * h, h)],
-                              axis=1, keepdims=True)
-        dH[...] = dH_acc
+
+            def pre(q):
+                return (xv_t * w_ref[0:1, pl.ds(q * h, h)]
+                        + g_t * w_ref[1:2, pl.ds(q * h, h)]
+                        + jax.lax.dot_general(
+                            H_k_t, u_ref[:, pl.ds(q * h, h)],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        + b_ref[:, pl.ds(q * h, h)])
+
+            dxv_q = jnp.zeros_like(ddel_t)
+            dg_q = jnp.zeros_like(ddel_t)
+            dH_acc = jnp.zeros_like(dH_new)
+
+            def contract(q, dpre):
+                nonlocal dxv_q, dg_q, dH_acc
+                dpre_b = dpre.astype(cdt)
+                dU[:, pl.ds(q * h, h)] += jax.lax.dot_general(
+                    H_k_t, dpre_b, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                db[:, pl.ds(q * h, h)] += jnp.sum(dpre, axis=0,
+                                                  keepdims=True)
+                dW[0:1, pl.ds(q * h, h)] += jnp.sum(xv_t * dpre, axis=0,
+                                                    keepdims=True)
+                dW[1:2, pl.ds(q * h, h)] += jnp.sum(g_t * dpre, axis=0,
+                                                    keepdims=True)
+                dH_acc = dH_acc + jax.lax.dot_general(
+                    dpre_b, u_ref[:, pl.ds(q * h, h)],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dxv_q = dxv_q + jnp.sum(dpre * w_ref[0:1, pl.ds(q * h, h)],
+                                        axis=1, keepdims=True)
+                dg_q = dg_q + jnp.sum(dpre * w_ref[1:2, pl.ds(q * h, h)],
+                                      axis=1, keepdims=True)
+
+            # H' = o * tanh(C'); C' = i*u + f*C — quarters sequenced so at
+            # most two (R, h) activations are live at once.
+            o_t = _sig(pre(2))
+            do = dH_new * tC
+            dC_new = sC[rows] + dH_new * o_t * (1.0 - tC * tC)
+            contract(2, do * o_t * (1.0 - o_t))
+            i_t = _sig(pre(0))
+            u_t = _tanh(pre(3))
+            contract(0, (dC_new * u_t) * i_t * (1.0 - i_t))
+            contract(3, (dC_new * i_t) * (1.0 - u_t * u_t))
+            f_t = _sig(pre(1))
+            contract(1, (dC_new * C_k_t) * f_t * (1.0 - f_t))
+            sC[rows] = dC_new * f_t
+            sH[rows] = dH_acc
+            dxv[rows] += dxv_q
+            dg_col[rows] = dg_q
+            return 0
+
+        jax.lax.fori_loop(0, S // R, tile, 0, unroll=False)
 
         # ---- KKT feature backward ----
-        dg1 = dg[0:n, :].reshape(1, n)
-        dg2 = dg[n:S, :].reshape(1, m)
+        dg1 = dg_col[0:n, :].reshape(1, n)
+        dg2 = dg_col[n:S, :].reshape(1, m)
         # g2 = A0 r1 - r2/rho  ->  d(g2)/d(rho_vec) = r2/rho^2
         drho_vec = drho_vec + dg2 * r2 / (rho_row * rho_row)
         dr1 = mv_q(dg1) + sigma * dg1 + mv_a0t(dg2)
@@ -442,8 +513,8 @@ def _bwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
         dz = dz - dr2
         drho_vec = drho_vec + dr2 * (nu_row - y) / (rho_row * rho_row)
 
-        dxv[...] = dxv_k + jnp.concatenate(
-            [du_.reshape(n, 1), dnu.reshape(m, 1)], axis=0)
+        dxv[0:n, :] += du_.reshape(n, 1)
+        dxv[n:S, :] += dnu.reshape(m, 1)
         dx_r[...] = dx
         dy_r[...] = dy
         dz_r[...] = dz
@@ -460,8 +531,12 @@ def _bwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
     dy0[0] = dy_r[:]
     dz0[0] = dz_r[:]
     dxv0[0] = dxv[:]
-    dh0[0] = dH[:]
-    dc0[0] = dC[:]
+    co_h = pltpu.make_async_copy(sH, dh0.at[b_idx], sem.at[0])
+    co_c = pltpu.make_async_copy(sC, dc0.at[b_idx], sem.at[1])
+    co_h.start()
+    co_c.start()
+    co_h.wait()
+    co_c.wait()
 
 
 # ---------------------------------------------------------------------------
@@ -469,16 +544,19 @@ def _bwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
 # ---------------------------------------------------------------------------
 
 def pick_segment_len(n_pad: int, m_pad: int, hidden: int, chunk_len: int,
-                     budget: float = 100e6) -> int:
+                     budget: float = 110e6) -> int:
     """Largest divisor of chunk_len whose backward-kernel VMEM estimate fits
     the budget (see module docstring for the buffer inventory)."""
     S = n_pad + m_pad
-    fixed = (2 * n_pad * n_pad + 2 * m_pad * n_pad        # Q, A0 bf16
-             + 2 * hidden * 4 * hidden                     # U bf16
-             + 4 * hidden * 4 * hidden                     # dU f32
-             + 4 * S * hidden * 4                          # H,C,dH,dC f32
-             + 8 * S * hidden * 4)                         # acts + temporaries
-    per_j = 6 * S * hidden                                 # Hs bf16 + Cs f32
+    hp = _round_up(hidden, 128)
+    R = _tile_rows(S)
+    fixed = (4 * (n_pad * n_pad + m_pad * n_pad)   # Q, A0 bf16 2x-buffered
+             + 2 * hp * 4 * hidden                 # U bf16
+             + 4 * hp * 4 * hidden                 # dU f32 output window
+             + 2 * S * hp * 4                      # sH, sC carries f32
+             + 8 * S * 128 * 4                     # (S,1) lane-padded cols
+             + 10 * R * hp * 4)                    # tile-loop live values
+    per_j = S * hp * (2 + 4) + S * 128 * 4         # Hs bf16 + Cs f32 + xvs
     best = 1
     for j in range(1, min(chunk_len, 16) + 1):
         if chunk_len % j == 0 and fixed + (j + 1) * per_j <= budget:
@@ -490,6 +568,26 @@ def _pad_axis(a, size, axis, fill=0.0):
     pad = [(0, 0)] * a.ndim
     pad[axis] = (0, size - a.shape[axis])
     return jnp.pad(a, pad, constant_values=fill)
+
+
+def _pad_q(a, h: int, hp: int):
+    """Zero-pad each of the 4 gate blocks of the last (4h) axis to hp wide,
+    so in-kernel quarter slices land at 128-aligned lane offsets and the
+    HBM-resident H/C can be DMA-ed (Mosaic requires lane-aligned slices).
+    The pad algebra is inert: pad gate columns stay sigma(0)/tanh(0) and
+    the pad H/C columns stay exactly zero through the cell update."""
+    if hp == h:
+        return a
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, hp - h)]
+    return jnp.concatenate([jnp.pad(a[..., q * h:(q + 1) * h], pad)
+                            for q in range(4)], axis=-1)
+
+
+def _unpad_q(a, h: int, hp: int):
+    if hp == h:
+        return a
+    return jnp.concatenate([a[..., q * hp:q * hp + h] for q in range(4)],
+                           axis=-1)
 
 
 def _pack_data(data: QPBatch, n: int, m: int, cdt=jnp.bfloat16):
@@ -508,11 +606,10 @@ def _pack_data(data: QPBatch, n: int, m: int, cdt=jnp.bfloat16):
     return Q, A0, p, zl, zu, rhom
 
 
-def _pack_state(st: IterState, n_true: int, n: int, m: int, hidden: int):
-    """Split the (n_true+m_true) token axis and re-pad each block."""
-    B = st.x.shape[0]
-
-    def tok(a, width):
+def _pack_state(st: IterState, n_true: int, n: int, m: int, hp: int):
+    """Split the (n_true+m_true) token axis, re-pad each block, and pad the
+    hidden axis of H/C to the lane-aligned hp."""
+    def tok(a):
         top = _pad_axis(a[:, :n_true], n, 1)
         bot = _pad_axis(a[:, n_true:], m, 1)
         return jnp.concatenate([top, bot], axis=1).astype(jnp.float32)
@@ -520,13 +617,14 @@ def _pack_state(st: IterState, n_true: int, n: int, m: int, hidden: int):
     x = _pad_axis(st.x, n, 1).astype(jnp.float32)[:, None]
     y = _pad_axis(st.y, m, 1).astype(jnp.float32)[:, None]
     z = _pad_axis(st.z, m, 1).astype(jnp.float32)[:, None]
-    xv = tok(st.xv, 1)[..., None]
-    H = tok(st.H, hidden)
-    C = tok(st.C, hidden)
+    xv = tok(st.xv)[..., None]
+    H = _pad_axis(tok(st.H), hp, 2)
+    C = _pad_axis(tok(st.C), hp, 2)
     return x, y, z, xv, H, C
 
 
-def _unpack_state(t, n_true: int, m_true: int, n: int) -> IterState:
+def _unpack_state(t, n_true: int, m_true: int, n: int,
+                  hidden: int) -> IterState:
     x, y, z, xv, H, C = t
     S0 = n + m_true
 
@@ -535,7 +633,7 @@ def _unpack_state(t, n_true: int, m_true: int, n: int) -> IterState:
 
     return IterState(x=x[:, 0, :n_true], y=y[:, 0, :m_true],
                      z=z[:, 0, :m_true], xv=untok(xv[..., 0]),
-                     H=untok(H), C=untok(C))
+                     H=untok(H)[..., :hidden], C=untok(C)[..., :hidden])
 
 
 def _specs(B, n, m, hidden, J, K_total):
@@ -548,11 +646,15 @@ def _specs(B, n, m, hidden, J, K_total):
                                         memory_space=pltpu.VMEM)
     smem_i = lambda d1, d2: pl.BlockSpec((1, d1, d2), lambda b: (b, 0, 0),
                                          memory_space=pltpu.SMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
     sched = [smem(1, 1), smem(1, K_total), smem(1, K_total)]
     dat = [inst3(n, n), inst3(m, n), inst3(1, n), inst3(1, m), inst3(1, m),
            inst3(1, m)]
-    state = [inst3(1, n), inst3(1, m), inst3(1, m), inst3(S, 1),
-             inst3(S, hidden), inst3(S, hidden)]
+    # state tuple order (x, y, z, xv, H, C): the small per-instance rows
+    # and the (S,1) xv column ride the grid pipeline; H/C stay HBM-resident
+    # (pl.ANY) and are DMA-ed in-kernel — windowing them would
+    # double-buffer ~56 MB at flagship shape.
+    state = [inst3(1, n), inst3(1, m), inst3(1, m), inst3(S, 1), any_, any_]
     weights = [shared(2, 4 * hidden), shared(hidden, 4 * hidden),
                shared(1, 4 * hidden), shared(hidden, 1), shared(1, 1)]
     return sched, dat, state, weights, inst3, shared, smem, smem_i
@@ -589,9 +691,11 @@ def _make_fwd_call(B, n, m, hidden, J, K_total, sigma, interpret,
             pltpu.VMEM((S, hidden), jnp.float32),   # C
             pltpu.VMEM((S, 1), jnp.float32),        # xv
             pltpu.VMEM((S, 1), jnp.float32),        # g
+            pltpu.VMEM((S, 1), jnp.float32),        # delta
             pltpu.VMEM((1, n), jnp.float32),        # x
             pltpu.VMEM((1, m), jnp.float32),        # y
             pltpu.VMEM((1, m), jnp.float32),        # z
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
@@ -637,14 +741,16 @@ def _make_bwd_call(B, n, m, hidden, J, K_total, sigma, interpret,
             pltpu.VMEM((J + 1, 1, n), jnp.float32),        # xs
             pltpu.VMEM((J + 1, 1, m), jnp.float32),        # ys
             pltpu.VMEM((J + 1, 1, m), jnp.float32),        # zs
-            pltpu.VMEM((S, hidden), jnp.float32),          # H carry
-            pltpu.VMEM((S, hidden), jnp.float32),          # C carry
-            pltpu.VMEM((S, hidden), jnp.float32),          # dH
-            pltpu.VMEM((S, hidden), jnp.float32),          # dC
+            pltpu.VMEM((S, hidden), jnp.float32),          # sH: H then dH
+            pltpu.VMEM((S, hidden), jnp.float32),          # sC: C then dC
             pltpu.VMEM((S, 1), jnp.float32),               # dxv
+            pltpu.VMEM((S, 1), jnp.float32),               # xv_col
+            pltpu.VMEM((S, 1), jnp.float32),               # g_col
+            pltpu.VMEM((S, 1), jnp.float32),               # dg / delta
             pltpu.VMEM((1, n), jnp.float32),               # dx
             pltpu.VMEM((1, m), jnp.float32),               # dy
             pltpu.VMEM((1, m), jnp.float32),               # dz
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
@@ -678,21 +784,27 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
 
     n = _round_up(num_var, 128)
     m = _round_up(num_constr, 128)
+    hp = _round_up(hidden, 128)
     J = seg or pick_segment_len(n, m, hidden, chunk_len)
     n_segs = chunk_len // J
     B = batch
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    fwd_call = _make_fwd_call(B, n, m, hidden, J, K_total, sigma, interpret,
+    fwd_call = _make_fwd_call(B, n, m, hp, J, K_total, sigma, interpret,
                               cdt)
-    bwd_call = _make_bwd_call(B, n, m, hidden, J, K_total, sigma, interpret,
+    bwd_call = _make_bwd_call(B, n, m, hp, J, K_total, sigma, interpret,
                               cdt)
 
-    def _run_fwd(params, state_t, data_t, t0):
-        W = params["W"].astype(cdt)
-        U = params["U"].astype(cdt)
-        b2 = params["b"].reshape(1, -1).astype(jnp.float32)
-        Wh = params["W_h"].astype(cdt)
+    def _padded_weights(params):
+        W = _pad_q(params["W"], hidden, hp).astype(cdt)
+        U = _pad_q(_pad_axis(params["U"], hp, 0), hidden, hp).astype(cdt)
+        b2 = _pad_q(params["b"].reshape(1, -1), hidden,
+                    hp).astype(jnp.float32)
+        Wh = _pad_axis(params["W_h"], hp, 0).astype(cdt)
         bh2 = params["b_h"].reshape(1, -1).astype(jnp.float32)
+        return W, U, b2, Wh, bh2
+
+    def _run_fwd(params, state_t, data_t, t0):
+        W, U, b2, Wh, bh2 = _padded_weights(params)
         rho = params["rho"].reshape(1, -1).astype(jnp.float32)
         alpha = params["alpha"].reshape(1, -1).astype(jnp.float32)
 
@@ -722,16 +834,11 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
     def _vjp_bwd(res, cots):
         params, state_t, data_t, t0, ckpts = res
         dpr, ddr, dfinal = cots
-        W = params["W"].astype(cdt)
-        U = params["U"].astype(cdt)
-        b2 = params["b"].reshape(1, -1).astype(jnp.float32)
-        Wh = params["W_h"].astype(cdt)
-        bh2 = params["b_h"].reshape(1, -1).astype(jnp.float32)
+        W, U, b2, Wh, bh2 = _padded_weights(params)
         rho = params["rho"].reshape(1, -1).astype(jnp.float32)
         alpha = params["alpha"].reshape(1, -1).astype(jnp.float32)
-        h = hidden
-        g0 = (jnp.zeros((2, 4 * h)), jnp.zeros((h, 4 * h)),
-              jnp.zeros((1, 4 * h)), jnp.zeros((h, 1)), jnp.zeros((1, 1)))
+        g0 = (jnp.zeros((2, 4 * hp)), jnp.zeros((hp, 4 * hp)),
+              jnp.zeros((1, 4 * hp)), jnp.zeros((hp, 1)), jnp.zeros((1, 1)))
         dpr_seg = jnp.moveaxis(dpr.reshape(B, n_segs, 1, J), 1, 0)
         ddr_seg = jnp.moveaxis(ddr.reshape(B, n_segs, 1, J), 1, 0)
 
@@ -751,6 +858,10 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
             seg_bwd, (dfinal, g0),
             (ckpts, dpr_seg, ddr_seg, jnp.arange(n_segs)), reverse=True)
         dW, dU_, db_, dWh, dbh = acc
+        dW = _unpad_q(dW, hidden, hp)
+        dU_ = _unpad_q(dU_, hidden, hp)[:hidden]
+        db_ = _unpad_q(db_, hidden, hp)
+        dWh = dWh[:hidden]
         drho_chunk = drho_segs[:, 0, :].reshape(chunk_len)
         dalpha_chunk = dalpha_segs[:, 0, :].reshape(chunk_len)
         zK = jnp.zeros((K_total,), jnp.float32)
@@ -773,11 +884,11 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
 
     def fused_chunk_loss(params, state: IterState, data: QPBatch, t0):
         data_t = _pack_data(data, n, m, cdt)
-        state_t = _pack_state(state, num_var, n, m, hidden)
+        state_t = _pack_state(state, num_var, n, m, hp)
         t0 = jnp.asarray(t0, jnp.int32)
         pr, dr, final = rollout_chunk(params, state_t, data_t, t0)
         loss = (pr + dr).mean(axis=0).sum() / outer_T
-        return loss, _unpack_state(final, num_var, num_constr, n)
+        return loss, _unpack_state(final, num_var, num_constr, n, hidden)
 
     fused_chunk_loss.segment_len = J
     if mesh is None:
