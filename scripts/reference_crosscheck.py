@@ -30,7 +30,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 WORK = "/tmp/refcheck"
 REF = "/root/reference"
 N, MI, ME, K, H, DSIZE = 100, 50, 50, 50, 128, 100
-EPOCHS = 200
+# The canonical lr=5e-5 is tuned for the n=1000/h=800 flagship and barely
+# moves at this tiny shape (val eq_max stuck ~0.92 after 100 epochs), so the
+# reference's tolerance gate never lets it save.  The cross-check compares
+# per-iteration eval curves on IDENTICAL weights, not training quality, so
+# use a workable lr and a gate the tiny model can pass.
+EPOCHS = 120
+LR = "5e-4"
+TOL = "1.0"
 
 RUNNER = textwrap.dedent("""
     import sys, runpy
@@ -88,8 +95,8 @@ def ref_cmd(extra):
             "--data_size", str(DSIZE), "--hidden_dim", str(H),
             "--outer_T", str(K), "--truncated_length", str(K),
             "--test_outer_T", str(K), "--test_batch_size", "5",
-            "--batch_size", "2", "--lr", "5e-5", "--sigma", "6e-6",
-            "--eq_tol", "0.2", "--ineq_tol", "0.2",
+            "--batch_size", "2", "--lr", LR, "--sigma", "6e-6",
+            "--eq_tol", TOL, "--ineq_tol", TOL,
             "--num_epoch", str(EPOCHS), "--device", "cpu",
             "--model_name", "LSTM", "--scaling", "--seed", "17"]
     return base + extra
