@@ -87,6 +87,10 @@ def main():
     chunk_fused = make_train_chunk(None, optimizer, K, K, 6e-6,
                                    loss_fn=fused_loss)
     st = init_state(B, n, mi + me, h, dtype=jnp.float32)
+    # the step-backend chunk donates its params/opt_state buffers, so
+    # re-materialize identical params rather than reusing deleted arrays
+    params = lstm_init(jax.random.PRNGKey(0), input_dim=2, hidden_dim=h,
+                       length=K)
     best, l0 = time_chunk(chunk_fused, dict(params), optimizer.init(params),
                           st, data, args.reps, "fused-train")
     out["fused"] = dict(ms_per_iter=best * 1e3 / K, chunk_s=best, loss0=l0)
