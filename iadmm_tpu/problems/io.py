@@ -114,11 +114,12 @@ def load_dataset(root: str, prob_type: str, num_var: int = 0,
     path = dataset_path(root, prob_type, num_var, num_ineq, num_eq)
     if os.path.exists(path):
         return load_npz(path)
-    # reference directory layout: <root>/<name>/<prob_type>_<i>.gz
+    # reference directory layout: <root>/<name>/<prob_type_lowercase>_<i>.gz
+    # (reference: main.py:204-216 — 'qp_{}.gz', 'equality_qp_{}.gz', ...)
     name = os.path.splitext(os.path.basename(path))[0]
     d = os.path.join(root, name)
     if os.path.isdir(d):
-        return load_reference_gz_dir(d, prob_type, range(data_size))
+        return load_reference_gz_dir(d, prob_type.lower(), range(data_size))
     raise FileNotFoundError(f"no dataset at {path} or {d}")
 
 

@@ -142,7 +142,7 @@ def main():
             raise SystemExit("reference never reached its save gate")
 
     mat_path = os.path.join(WORK, "results", "lstm",
-                            f"QP_{N}_{MI}_{ME}_{K}_{H}.mat")
+                            f"QP_{N}_{MI}_{ME}_{K}_{H}_results.mat")
     if not os.path.exists(mat_path):
         r = subprocess.run(ref_cmd(["--test", "--save_sol"]), cwd=WORK,
                            capture_output=True, text=True)

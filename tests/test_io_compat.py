@@ -54,6 +54,19 @@ def test_reference_gz_pickle_loader(tmp_path):
     assert float(np.abs(np.asarray(batch.Q[0]) / 2.0 - ds.Q[0]).max()) < 1e-6
 
 
+def test_load_dataset_reference_gz_fallback(tmp_path):
+    """load_dataset without a stacked npz must find the reference's own
+    directory layout, whose file names are LOWERCASE
+    (reference: main.py:204-216 — 'qp_{}.gz' for prob_type 'QP')."""
+    ds = generators.generate("QP", num_var=6, num_ineq=4, num_eq=3,
+                             data_size=2, seed=3)
+    d = str(tmp_path / "QP_6_4_3")
+    io.save_reference_gz_dir(ds, d, "qp")   # reference naming
+    back = io.load_dataset(str(tmp_path), "QP", 6, 4, 3, data_size=2)
+    np.testing.assert_allclose(back.Q, ds.Q, rtol=1e-12)
+    np.testing.assert_allclose(back.A0, ds.A0, rtol=1e-12)
+
+
 def test_all_families_generate_and_batch():
     for fam in generators.FAMILIES:
         kw = dict(num_var=10, data_size=2, seed=1)
