@@ -46,17 +46,27 @@ def _stage2_kernel(q_ref, a0_ref, p_ref, zl_ref, zu_ref, rho_ref, diag_ref,
     rho = rho_ref[0]
     diag = diag_ref[0]
 
+    # True-f32 matvecs: the MXU's default precision truncates f32 operands
+    # to bf16 (f32 accumulate), which stalls CG outright on the condensed
+    # system's conditioning (rho_eq = 1e3*rho makes cond(M) ~ 1e6 on the
+    # flagship family — measured primal 13.8 vs 0.01 for LU).  HIGHEST
+    # lowers to the multi-pass f32 MXU path; the kernel stays VMEM-bound.
+    _PREC = jax.lax.Precision.HIGHEST
+
     def mv_q(v):        # (1,n) @ Q -> (1,n), Q symmetric
         return jax.lax.dot_general(v, Q, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
 
     def mv_a0(v):       # (1,n) -> (1,m)
         return jax.lax.dot_general(v, A0, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
 
     def mv_a0t(w):      # (1,m) -> (1,n)
         return jax.lax.dot_general(w, A0, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
 
     def mv_M(v):        # condensed SPD matvec (solvers/cg.py)
         return mv_q(v) + sigma * v + mv_a0t(rho * mv_a0(v))
@@ -196,7 +206,8 @@ def fused_stage2(state: IterState, data: QPBatch, rho_vec: jax.Array,
     )(Q, A0, p, zl, zu, rho, diag, x0, y0, z0, xt0)
 
     x, y, z, xt, pr, dr = outs
-    nu = rho_vec * (jnp.einsum("bmn,bn->bm", data.A0, xt[:, 0, :n_true])
+    nu = rho_vec * (jnp.einsum("bmn,bn->bm", data.A0, xt[:, 0, :n_true],
+                               precision=jax.lax.Precision.HIGHEST)
                     - z[:, 0, :m_true]) + y[:, 0, :m_true]
     xv = jnp.concatenate([xt[:, 0, :n_true], nu], axis=-1)
     st = IterState(x=x[:, 0, :n_true], y=y[:, 0, :m_true],
