@@ -39,8 +39,10 @@ def save_npz(ds: RawDataset, path: str, compress: bool = False) -> None:
     # cost 12 B/entry vs 4 B/dense-entry, so only densities < 1/3 shrink.
     for k in ("Q", "A0"):
         M = payload[k]
-        nz = M != 0
-        if nz.mean() < 1.0 / 3.0:
+        # count_nonzero instead of (M != 0).mean(): the bool intermediate
+        # alone is 5 GB on an SVM-family A0 and can OOM the generator host
+        density = np.count_nonzero(M) / M.size
+        if density < 1.0 / 3.0:
             flat = M.reshape(M.shape[0], -1)
             idx = [np.flatnonzero(f) for f in flat]
             payload[f"{k}_sp_idx"] = np.concatenate(idx).astype(np.int64)
