@@ -212,10 +212,12 @@ def train_stack_bytes(ds: RawDataset, n_used: int,
     return total
 
 
-def device_memory_budget(default: float = 4e9, frac: float = 0.6) -> float:
+def device_memory_budget(default: float = 8e9, frac: float = 0.6) -> float:
     """HBM budget for the preload: a fraction of the device memory limit
-    (leaving room for activations + the val set), with a conservative
-    fallback when the backend doesn't report one."""
+    (leaving room for activations + the val set).  The tunnelled TPU backend
+    reports no memory_stats, so the fallback assumes the v5e's 16 GB HBM:
+    8 GB preload leaves half the chip for the training working set (the
+    flagship epoch-scan peaks ~2-3 GB beyond the stack)."""
     try:
         stats = jax.devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit") or stats.get(

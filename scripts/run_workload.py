@@ -42,10 +42,10 @@ WORKLOADS = {
                         feas_rest=True),
     "Equality_QP": dict(prob_type="Equality_QP", num_var=1000, num_eq=500,
                         outer_T=400, truncated_length=200, hidden_dim=200,
-                        eq_tol=0.5, remat=True),
+                        eq_tol=0.5, remat=True, preload_dtype="bfloat16"),
     "Random_QP": dict(prob_type="Random_QP", num_var=1000, num_ineq=2000,
                       outer_T=600, truncated_length=150, hidden_dim=200,
-                      eq_tol=1.0, remat=True),
+                      eq_tol=1.0, remat=True, preload_dtype="bfloat16"),
     "SVM": dict(prob_type="SVM", num_var=1500, num_ineq=500, outer_T=50,
                 truncated_length=50, hidden_dim=800, eq_tol=0.01),
 }
