@@ -302,6 +302,13 @@ def export_traces(report: TestReport, path: str) -> None:
             flat[f"stage2_{k}"] = getattr(report.stage2, k)
     if path.endswith(".mat"):
         import scipy.io
+        # schema parity with the reference's savemat: it exports the
+        # theory-condition arrays as empty lists (they are filled only by
+        # commented-out code, reference: main.py:905-944, 1240-1262)
+        for base in ("x_cond_1", "x_cond_2", "z_cond_1", "z_cond_2",
+                     "alpha_cond"):
+            for side in ("left", "right"):
+                flat.setdefault(f"{base}_{side}", np.zeros((1, 0)))
         scipy.io.savemat(path, flat)
     else:
         np.savez(path, **flat)

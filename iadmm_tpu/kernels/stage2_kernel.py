@@ -11,9 +11,23 @@ exactly once.
 
 Semantics match ``solvers.cg.feasibility_restoration_cg``: N exact ADMM
 iterations (z-relaxation ON, α = 1.6 — reference: models/lu.py:24,43) whose
-KKT solve is Jacobi-preconditioned CG on the condensed SPD system
-M = Q + σI + A0ᵀdiag(ρ)A0, warm-started across polish steps
-(reference Stage-II protocol: main.py:1035-1064).
+KKT solve operates on the condensed SPD system M = Q + σI + A0ᵀdiag(ρ)A0
+(reference Stage-II protocol: main.py:1035-1064).  Two in-kernel solvers:
+
+``solver='direct'`` (default): ρ is FIXED across the polish loop (the last
+learned iteration's schedule, main.py:882,1061), so M is loop-invariant —
+factor ONCE outside the kernel (batched XLA Cholesky) and carry the
+explicit inverse M⁻¹ VMEM-resident.  Each polish step's "KKT solve" is then
+a single MXU matvec b·M⁻¹ plus ``refine`` iterative-refinement passes
+(xt += (b − M·xt)·M⁻¹) that recover direct-solve accuracy from the f32
+inverse at cond(M) ~ 1e6 (ρ_eq = 1e3·ρ).  This replaces the LU route's
+per-step streaming of the factored (n+m)² KKT matrix with an n² matvec
+from VMEM — and unlike triangular solves, it is a pure GEMM, which is the
+only shape the MXU runs at speed of light.
+
+``solver='cg'``: Jacobi-preconditioned CG, warm-started across polish
+steps.  Matrix-free (no one-time factorization), but accuracy-limited on
+ill-conditioned M — the eq-row 1e3·ρ split stalls it near rel 1e-2.
 """
 
 from __future__ import annotations
@@ -32,19 +46,20 @@ from .train_rollout import _round_up, _pad_axis
 ALPHA_STAGE2 = 1.6  # reference: models/lu.py:24
 
 
-def _stage2_kernel(q_ref, a0_ref, p_ref, zl_ref, zu_ref, rho_ref, diag_ref,
+def _stage2_kernel(q_ref, a0_ref, p_ref, zl_ref, zu_ref, rho_ref, pc_ref,
                    x0_ref, y0_ref, z0_ref, xt0_ref,
                    x_out, y_out, z_out, xt_out, pr_out, dr_out,
                    x_r, y_r, z_r, xt_r, r_s, pv_s,
                    *, n: int, m: int, N: int, cg_iters: int,
-                   sigma: float, tol: float, alpha: float):
+                   sigma: float, tol: float, alpha: float,
+                   solver: str, refine: int):
     Q = q_ref[0]
     A0 = a0_ref[0]
     p = p_ref[0]
     zl = zl_ref[0]
     zu = zu_ref[0]
     rho = rho_ref[0]
-    diag = diag_ref[0]
+    # pc_ref: (1, n) Jacobi diagonal for 'cg'; (n, n) M⁻¹ for 'direct'.
 
     # True-f32 matvecs: the MXU's default precision truncates f32 operands
     # to bf16 (f32 accumulate), which stalls CG outright on the condensed
@@ -82,31 +97,50 @@ def _stage2_kernel(q_ref, a0_ref, p_ref, zl_ref, zu_ref, rho_ref, diag_ref,
         z = z_r[:]
 
         b = sigma * x - p + mv_a0t(rho * z - y)
-        bnorm = jnp.sqrt(jnp.sum(b * b)) + 1e-30
 
-        # --- Jacobi-preconditioned CG, warm-started from xt_r ---
-        r_s[...] = b - mv_M(xt_r[:])
-        pv_s[...] = r_s[:] / diag
-        rz0 = jnp.sum(r_s[:] * pv_s[:])
+        if solver == "direct":
+            # xt = b·M⁻¹, then `refine` iterative-refinement passes: the
+            # f32 explicit inverse alone solves to ~cond(M)·eps relative;
+            # each pass multiplies the error by that factor again.
+            Minv = pc_ref[0]
 
-        def cg(k, rz):
-            pv = pv_s[:]
-            Ap = mv_M(pv)
-            denom = jnp.sum(pv * Ap)
-            rnorm = jnp.sqrt(jnp.sum(r_s[:] * r_s[:]))
-            active = jnp.logical_and(rnorm / bnorm > tol, denom > 0.0)
-            a_k = jnp.where(active,
-                            rz / jnp.where(denom == 0.0, 1.0, denom), 0.0)
-            xt_r[...] = xt_r[:] + a_k * pv
-            r_s[...] = r_s[:] - a_k * Ap
-            zp = r_s[:] / diag
-            rz_new = jnp.sum(r_s[:] * zp)
-            beta = jnp.where(active,
-                             rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0)
-            pv_s[...] = zp + beta * pv
-            return jnp.where(active, rz_new, rz)
+            def mv_minv(v):   # (1,n) @ M⁻¹ (symmetric) -> (1,n)
+                return jax.lax.dot_general(
+                    v, Minv, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_PREC)
 
-        jax.lax.fori_loop(0, cg_iters, cg, rz0, unroll=False)
+            xt_r[...] = mv_minv(b)
+            for _ in range(refine):
+                r_s[...] = b - mv_M(xt_r[:])
+                xt_r[...] = xt_r[:] + mv_minv(r_s[:])
+        else:
+            # --- Jacobi-preconditioned CG, warm-started from xt_r ---
+            diag = pc_ref[0]
+            bnorm = jnp.sqrt(jnp.sum(b * b)) + 1e-30
+            r_s[...] = b - mv_M(xt_r[:])
+            pv_s[...] = r_s[:] / diag
+            rz0 = jnp.sum(r_s[:] * pv_s[:])
+
+            def cg(k, rz):
+                pv = pv_s[:]
+                Ap = mv_M(pv)
+                denom = jnp.sum(pv * Ap)
+                rnorm = jnp.sqrt(jnp.sum(r_s[:] * r_s[:]))
+                active = jnp.logical_and(rnorm / bnorm > tol, denom > 0.0)
+                a_k = jnp.where(active,
+                                rz / jnp.where(denom == 0.0, 1.0, denom),
+                                0.0)
+                xt_r[...] = xt_r[:] + a_k * pv
+                r_s[...] = r_s[:] - a_k * Ap
+                zp = r_s[:] / diag
+                rz_new = jnp.sum(r_s[:] * zp)
+                beta = jnp.where(active,
+                                 rz_new / jnp.where(rz == 0.0, 1.0, rz),
+                                 0.0)
+                pv_s[...] = zp + beta * pv
+                return jnp.where(active, rz_new, rz)
+
+            jax.lax.fori_loop(0, cg_iters, cg, rz0, unroll=False)
 
         xt = xt_r[:]
         nu = rho * (mv_a0(xt) - z) + y
@@ -134,18 +168,27 @@ def _stage2_kernel(q_ref, a0_ref, p_ref, zl_ref, zu_ref, rho_ref, diag_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters", "cg_iters",
-                                             "sigma", "tol", "interpret"))
+                                             "sigma", "tol", "interpret",
+                                             "solver", "refine"))
 def fused_stage2(state: IterState, data: QPBatch, rho_vec: jax.Array,
                  *, num_iters: int, cg_iters: int = 100,
                  sigma: float = 6e-6, tol: float = 1e-8,
-                 interpret: bool = False
+                 interpret: bool = False, solver: str = "direct",
+                 refine: int = 2
                  ) -> Tuple[IterState, jax.Array, jax.Array]:
     """Run ``num_iters`` fused polish steps; returns (state', pr, dr) with
     per-step primal/dual residual traces of shape (B, num_iters).
 
+    ``solver='direct'`` factors the loop-invariant condensed system once
+    (batched XLA Cholesky → explicit M⁻¹) and solves in-kernel by MXU
+    matvec + ``refine`` refinement passes; ``solver='cg'`` is the
+    matrix-free Jacobi-CG fallback (no factorization, lower accuracy).
+
     Operates in whatever space ``data`` lives in — callers follow the
     reference and pass ORIGINAL (unscaled) data and pre-unscaled iterates
     (rollouts.unscale_state), reference: main.py:1017-1064."""
+    if solver not in ("direct", "cg"):
+        raise ValueError(f"unknown stage2 solver {solver!r}")
     B = data.p.shape[0]
     n_true, m_true = data.num_var, data.num_constr
     n = _round_up(n_true, 128)
@@ -159,12 +202,31 @@ def fused_stage2(state: IterState, data: QPBatch, rho_vec: jax.Array,
     rho = _pad_axis(rho_vec.astype(jnp.float32)
                     * jnp.ones((B, m_true), jnp.float32), m, 1,
                     fill=1.0)[:, None]
-    # Jacobi diagonal (pad entries: sigma-only rows -> 1.0-safe divisor)
-    qd = jnp.diagonal(data.Q, axis1=-2, axis2=-1)
-    ad = jnp.einsum("bmn,bm->bn", data.A0 ** 2,
-                    rho_vec * jnp.ones((B, m_true), jnp.float32))
-    diag = _pad_axis((qd + sigma + ad).astype(jnp.float32), n, 1,
-                     fill=1.0)[:, None]
+    rho_full = rho_vec * jnp.ones((B, m_true), jnp.float32)
+    if solver == "direct":
+        # One-time batched factorization of the loop-invariant condensed
+        # SPD system; the kernel carries the explicit inverse.  f32
+        # HIGHEST matmuls — this is the precision stage.
+        hi = jax.lax.Precision.HIGHEST
+        A0f = data.A0.astype(jnp.float32)
+        M = (data.Q.astype(jnp.float32)
+             + sigma * jnp.eye(n_true, dtype=jnp.float32)
+             + jnp.einsum("bmn,bmk->bnk", A0f * rho_full[..., None], A0f,
+                          precision=hi))
+        L = jnp.linalg.cholesky(M)
+        eye = jnp.broadcast_to(jnp.eye(n_true, dtype=jnp.float32), M.shape)
+        Minv = jax.scipy.linalg.cho_solve((L, True), eye)
+        # zero padding: padded b entries are 0, so M⁻¹'s padded rows/cols
+        # contribute nothing
+        pc = _pad_axis(_pad_axis(Minv, n, 1), n, 2)
+        pc_spec_dims = (n, n)
+    else:
+        # Jacobi diagonal (pad entries: sigma-only rows -> 1.0-safe divisor)
+        qd = jnp.diagonal(data.Q, axis1=-2, axis2=-1)
+        ad = jnp.einsum("bmn,bm->bn", data.A0 ** 2, rho_full)
+        pc = _pad_axis((qd + sigma + ad).astype(jnp.float32), n, 1,
+                       fill=1.0)[:, None]
+        pc_spec_dims = (1, n)
     x0 = _pad_axis(state.x, n, 1).astype(jnp.float32)[:, None]
     y0 = _pad_axis(state.y, m, 1).astype(jnp.float32)[:, None]
     z0 = _pad_axis(state.z, m, 1).astype(jnp.float32)[:, None]
@@ -177,12 +239,13 @@ def fused_stage2(state: IterState, data: QPBatch, rho_vec: jax.Array,
     f32 = jnp.float32
     kernel = functools.partial(_stage2_kernel, n=n, m=m, N=num_iters,
                                cg_iters=cg_iters, sigma=float(sigma),
-                               tol=float(tol), alpha=ALPHA_STAGE2)
+                               tol=float(tol), alpha=ALPHA_STAGE2,
+                               solver=solver, refine=refine)
     outs = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[inst(n, n), inst(m, n), inst(1, n), inst(1, m), inst(1, m),
-                  inst(1, m), inst(1, n),
+                  inst(1, m), inst(*pc_spec_dims),
                   inst(1, n), inst(1, m), inst(1, m), inst(1, n)],
         out_specs=[inst(1, n), inst(1, m), inst(1, m), inst(1, n),
                    smem_i(num_iters), smem_i(num_iters)],
@@ -203,7 +266,7 @@ def fused_stage2(state: IterState, data: QPBatch, rho_vec: jax.Array,
             bytes_accessed=4 * B * (n * n + m * n),
             transcendentals=0),
         interpret=interpret,
-    )(Q, A0, p, zl, zu, rho, diag, x0, y0, z0, xt0)
+    )(Q, A0, p, zl, zu, rho, pc, x0, y0, z0, xt0)
 
     x, y, z, xt, pr, dr = outs
     nu = rho_vec * (jnp.einsum("bmn,bn->bm", data.A0, xt[:, 0, :n_true],

@@ -27,7 +27,9 @@ declare -A HOURS=(
   [Equality_QP]=1.2 [QP_RHS]=1.0 [SVM]=0.8
   [Random_QP]=1.2 [QP_RHS_1500]=1.0 [QP_1500]=1.2
 )
-ORDER="Equality_QP QP_RHS SVM Random_QP QP_RHS_1500 QP_1500"
+# FAMILIES overrides the default order, e.g. to resume a partial queue:
+#   FAMILIES="SVM Random_QP" nohup bash scripts/chip_queue.sh ... &
+ORDER="${FAMILIES:-Equality_QP QP_RHS SVM Random_QP QP_RHS_1500 QP_1500}"
 
 dataset_file() {
   case "$1" in

@@ -50,3 +50,30 @@ def test_fused_stage2_converges_to_feasibility():
     out, pr, dr = fused_stage2(st, data, rho_vec, num_iters=60,
                                cg_iters=80, sigma=1e-4, interpret=True)
     assert float(pr[:, -1].max()) < 1e-2
+
+
+def test_fused_stage2_direct_matches_lu():
+    """The 'direct' in-kernel solver (explicit M⁻¹ + refinement) is an
+    exact solve like the LU route — the two polish trajectories must agree
+    tightly, unlike the accuracy-limited Jacobi-CG fallback."""
+    from iadmm_tpu.solvers.exact import feasibility_restoration
+
+    data, st, rho_vec = _setup(B=2, n=20, mi=12, me=10)
+    N = 15
+    ref = feasibility_restoration(st, data, 1e-4, rho_vec, N)
+    out, pr, dr = fused_stage2(st, data, rho_vec, num_iters=N,
+                               sigma=1e-4, solver="direct", refine=2,
+                               interpret=True)
+    for name in ("x", "y", "z"):
+        np.testing.assert_allclose(np.asarray(getattr(out, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_fused_stage2_rejects_unknown_solver():
+    import pytest
+
+    data, st, rho_vec = _setup(B=1, n=8, mi=4, me=4)
+    with pytest.raises(ValueError, match="unknown stage2 solver"):
+        fused_stage2(st, data, rho_vec, num_iters=2, solver="qr",
+                     interpret=True)
