@@ -172,11 +172,17 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
     if verbose:
         print(f"run_test: compiling eval batch (B={bs}, T={T}) ...",
               flush=True)
+    from ..utils.profiling import start_compile_watchdog
+    cancel_watchdog = start_compile_watchdog(
+        "run_test warm-up",
+        hint="Fallback knobs: use_pallas=false (XLA step) or wait out "
+             "the contention.")
     w_scaled, w_sc = prep(warm)
     w_st, _ = eval_batch(params, w_scaled, warm, w_sc)
     if cfg.feas_rest:
         stage2_batch(params, w_st, warm, w_sc)
     _fetch(w_st.x)
+    cancel_watchdog()
     if verbose:
         print(f"run_test: warm-up done; {n_batches} timed batches",
               flush=True)

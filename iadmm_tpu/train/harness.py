@@ -52,6 +52,7 @@ from ..types import IterState, QPBatch, init_state
 from ..solvers.step import get_cell, check_schedule_len
 from ..solvers.rollouts import chunk_loss, rollout
 from ..evaluation import metrics
+from ..utils import profiling
 from .early_stopping import EarlyStopping
 from . import checkpoint as ckpt
 
@@ -577,6 +578,11 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                       f"epoch {epoch}")
             break
         t_start = time.time()
+        cancel_watchdog = profiling.start_compile_watchdog(
+            "train epoch" if epoch_fn is not None else "train chunk",
+            hint="Fallback knobs: use_pallas=false (XLA step), "
+                 "train_backend='step', or wait out the contention.") \
+            if epoch == start_epoch else (lambda: None)
         if epoch_fn is not None:
             params, opt_state, losses, x_last = epoch_fn(params, opt_state,
                                                          stacked)
@@ -612,6 +618,7 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                 train_obj_dev = train_obj_dev / cost
             train_obj_dev = train_obj_dev.mean()
         loss = float(loss)  # host fetch = epoch completion barrier
+        cancel_watchdog()
         t_train = time.time() - t_start
 
         # Train metrics on the last batch, unscaled via the cost vector

@@ -41,6 +41,43 @@ def enable_nan_checks(on: bool = True) -> None:
     jax.config.update("jax_debug_nans", on)
 
 
+def start_compile_watchdog(label: str, budget_s: float = 120.0,
+                           hint: str = ""):
+    """Warn (once) if a first-dispatch/compile region exceeds ``budget_s``;
+    returns a zero-arg ``cancel`` callable to invoke after the region.
+
+    Encodes the compile-time policy for this backend: XLA/Mosaic compiles
+    are erratic under chip contention (seconds to ~8 min for the same
+    program, persistent cache ineffective — CLAUDE.md).  A pathological
+    compile should be *visible* with an actionable fallback, not a silent
+    hang.  Purely observational — never cancels the compile."""
+    import threading
+
+    done = threading.Event()
+
+    def _warn():
+        if not done.wait(budget_s):
+            print(f"[compile-watchdog] {label}: first dispatch still "
+                  f"compiling after {budget_s:.0f}s — likely chip "
+                  f"contention (another TPU job compiling?). "
+                  + (hint or "It should complete; consider the XLA step "
+                             "path (use_pallas=false) if this recurs."),
+                  flush=True)
+
+    threading.Thread(target=_warn, daemon=True).start()
+    return done.set
+
+
+@contextlib.contextmanager
+def compile_watchdog(label: str, budget_s: float = 120.0, hint: str = ""):
+    """Context-manager form of :func:`start_compile_watchdog`."""
+    cancel = start_compile_watchdog(label, budget_s, hint)
+    try:
+        yield
+    finally:
+        cancel()
+
+
 def fetch_barrier(tree) -> None:
     """Force completion of every leaf via a tiny device->host transfer.
     ``block_until_ready`` alone can return early on tunnelled backends."""
