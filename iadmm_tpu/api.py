@@ -50,12 +50,14 @@ def make_solver(params: Dict, *, hidden_dim: int, num_iters: int,
     runs the whole K-iteration rollout inside the Pallas megakernel
     (Q/A0/state VMEM-resident; TPU-only, bf16 profile) — the fastest
     serving path.  ``stage2_impl`` selects the polish backend: 'lu'
-    (factor-once XLA, reference parity), 'cg' (matrix-free XLA), or
-    'fused' (whole polish loop in one Pallas kernel with a factor-once
-    explicit inverse, Q/A0/M⁻¹ VMEM-resident f32 — kernels/
-    stage2_kernel.py; measured 3.9× the LU route on chip at primal
-    residual 0.019 vs 0.010).  The default 'auto' resolves to 'fused' on
-    TPU and 'lu' elsewhere (the kernel has no CPU/GPU lowering).
+    (factor-once XLA, reference parity), 'cg' (matrix-free XLA), 'fused'
+    (whole polish loop in one Pallas kernel with a factor-once explicit
+    f32 inverse of the full saddle-point matrix, VMEM-resident — LU-route
+    accuracy at explicit-inverse speed; kernels/stage2_kernel.py), or
+    'fused-direct' (the kernel's condensed-system M⁻¹ ablation — smaller
+    resident inverse, accuracy-limited at cond(M)).  The default 'auto'
+    resolves to 'fused' on TPU and 'lu' elsewhere (the kernel has no
+    CPU/GPU lowering).
     """
     if stage2_impl == "auto":
         stage2_impl = "fused" if jax.default_backend() == "tpu" else "lu"
@@ -89,11 +91,13 @@ def make_solver(params: Dict, *, hidden_dim: int, num_iters: int,
             st = unscale_state(st, sc)
         if feas_rest_num:
             rho_vec, _ = _schedules(params, num_iters - 1, data.eq_mask)
-            if stage2_impl == "fused":
+            if stage2_impl in ("fused", "fused-direct"):
                 from .kernels.stage2_kernel import fused_stage2
-                st, _, _ = fused_stage2(st, data, rho_vec,
-                                        num_iters=feas_rest_num,
-                                        sigma=sigma)
+                st, _, _ = fused_stage2(
+                    st, data, rho_vec, num_iters=feas_rest_num,
+                    sigma=sigma,
+                    solver="direct" if stage2_impl == "fused-direct"
+                    else "kkt")
             elif stage2_impl == "cg":
                 from .solvers.cg import feasibility_restoration_cg
                 st = feasibility_restoration_cg(st, data, sigma, rho_vec,

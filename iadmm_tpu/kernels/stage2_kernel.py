@@ -10,22 +10,32 @@ loop runs as ONE kernel per instance with Q/A0 VMEM-resident in f32
 exactly once.
 
 Semantics match ``solvers.cg.feasibility_restoration_cg``: N exact ADMM
-iterations (z-relaxation ON, α = 1.6 — reference: models/lu.py:24,43) whose
-KKT solve operates on the condensed SPD system M = Q + σI + A0ᵀdiag(ρ)A0
-(reference Stage-II protocol: main.py:1035-1064).  Two in-kernel solvers:
+iterations (z-relaxation ON, α = 1.6 — reference: models/lu.py:24,43).  ρ
+is FIXED across the polish loop (the last learned iteration's schedule,
+main.py:882,1061), so the linear system is loop-invariant — factor ONCE
+outside the kernel and carry an explicit inverse VMEM-resident; each polish
+step's "KKT solve" is then a single MXU matvec, which (unlike triangular
+solves) is the only shape the MXU runs at speed of light.  Three in-kernel
+solvers:
 
-``solver='direct'`` (default): ρ is FIXED across the polish loop (the last
-learned iteration's schedule, main.py:882,1061), so M is loop-invariant —
-factor ONCE outside the kernel (batched XLA Cholesky) and carry the
-explicit inverse M⁻¹ VMEM-resident.  Each polish step's "KKT solve" is then
-a single MXU matvec b·M⁻¹ plus ``refine`` iterative-refinement passes
-(xt += (b − M·xt)·M⁻¹) that recover direct-solve accuracy from the f32
-inverse at cond(M) ~ 1e6 (ρ_eq = 1e3·ρ).  This replaces the LU route's
-per-step streaming of the factored (n+m)² KKT matrix with an n² matvec
-from VMEM — and unlike triangular solves, it is a pure GEMM, which is the
-only shape the MXU runs at speed of light.
+``solver='kkt'`` (default): explicit f32 inverse of the FULL (n+m)²
+saddle-point matrix Ã = [[Q+σI, A0ᵀ], [A0, −diag(1/ρ)]] (batched XLA LU
+outside the kernel), solve xv = b̃·Ã⁻¹ in one matvec.  The −1/ρ block makes
+Ã far better conditioned than the condensed SPD system M = Q+σI+A0ᵀρA0
+that 'direct'/'cg' solve (measured on the flagship family: cond(Ã) ~ 1e2
+vs cond(M) ~ 2e5 — condensation squares the ρ_eq = 1e3·ρ imbalance), so a
+plain f32 inverse already solves to ~1e-7 relative where the condensed
+route saturates at ~1e-4 even with iterative refinement (the f32 residual
+b − M·xt cancels catastrophically at cond(M)).  This is the same linear
+system the LU route factors — accuracy parity with solvers/exact.py at
+explicit-inverse speed.
 
-``solver='cg'``: Jacobi-preconditioned CG, warm-started across polish
+``solver='direct'``: condensed-system variant (explicit M⁻¹, n² matvec +
+``refine`` f32 refinement passes).  Smaller resident inverse (n² vs
+(n+m)²) but accuracy-limited by cond(M); kept for the VMEM-constrained
+case and as the measured round-2 baseline.
+
+``solver='cg'``: Jacobi-preconditioned CG on M, warm-started across polish
 steps.  Matrix-free (no one-time factorization), but accuracy-limited on
 ill-conditioned M — the eq-row 1e3·ρ split stalls it near rel 1e-2.
 """
@@ -59,7 +69,8 @@ def _stage2_kernel(q_ref, a0_ref, p_ref, zl_ref, zu_ref, rho_ref, pc_ref,
     zl = zl_ref[0]
     zu = zu_ref[0]
     rho = rho_ref[0]
-    # pc_ref: (1, n) Jacobi diagonal for 'cg'; (n, n) M⁻¹ for 'direct'.
+    # pc_ref: (1, n) Jacobi diagonal for 'cg'; (n, n) M⁻¹ for 'direct';
+    # (n+m, n+m) Ã⁻¹ for 'kkt'.
 
     # True-f32 matvecs: the MXU's default precision truncates f32 operands
     # to bf16 (f32 accumulate), which stalls CG outright on the condensed
@@ -96,7 +107,31 @@ def _stage2_kernel(q_ref, a0_ref, p_ref, zl_ref, zu_ref, rho_ref, pc_ref,
         y = y_r[:]
         z = z_r[:]
 
-        b = sigma * x - p + mv_a0t(rho * z - y)
+        if solver == "kkt":
+            # Full saddle-point solve: xv = b̃·Ã⁻¹ with b̃ = [σx−p; z−y/ρ]
+            # (reference: models/lu.py:27-35).  r_s holds b̃ (and refinement
+            # residuals), pv_s the solved xv — both sized (1, n+m) here.
+            Ainv = pc_ref[0]
+
+            def mv_ainv(v):  # (1, n+m) @ Ã⁻¹ (symmetric saddle point)
+                return jax.lax.dot_general(
+                    v, Ainv, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_PREC)
+
+            r_s[:, :n] = sigma * x - p
+            r_s[:, n:] = z - y / rho
+            pv_s[...] = mv_ainv(r_s[:])
+            for _ in range(refine):
+                # Blockwise full-KKT residual (Ã never materialized here)
+                xt_k = pv_s[:, :n]
+                nu_k = pv_s[:, n:]
+                r_s[:, :n] = (sigma * x - p) - (
+                    mv_q(xt_k) + sigma * xt_k + mv_a0t(nu_k))
+                r_s[:, n:] = (z - y / rho) - (mv_a0(xt_k) - nu_k / rho)
+                pv_s[...] = pv_s[:] + mv_ainv(r_s[:])
+            xt_r[...] = pv_s[:, :n]
+        else:
+            b = sigma * x - p + mv_a0t(rho * z - y)
 
         if solver == "direct":
             # xt = b·M⁻¹, then `refine` iterative-refinement passes: the
@@ -113,7 +148,7 @@ def _stage2_kernel(q_ref, a0_ref, p_ref, zl_ref, zu_ref, rho_ref, pc_ref,
             for _ in range(refine):
                 r_s[...] = b - mv_M(xt_r[:])
                 xt_r[...] = xt_r[:] + mv_minv(r_s[:])
-        else:
+        elif solver == "cg":
             # --- Jacobi-preconditioned CG, warm-started from xt_r ---
             diag = pc_ref[0]
             bnorm = jnp.sqrt(jnp.sum(b * b)) + 1e-30
@@ -143,7 +178,10 @@ def _stage2_kernel(q_ref, a0_ref, p_ref, zl_ref, zu_ref, rho_ref, pc_ref,
             jax.lax.fori_loop(0, cg_iters, cg, rz0, unroll=False)
 
         xt = xt_r[:]
-        nu = rho * (mv_a0(xt) - z) + y
+        if solver == "kkt":
+            nu = pv_s[:, n:]  # ν from the solve (reference: lu.py:37-41)
+        else:
+            nu = rho * (mv_a0(xt) - z) + y
         # exact ADMM update, z-relaxation ON (reference: models/lu.py:43-45)
         z_t = z + (nu - y) / rho
         x_new = alpha * xt + (1.0 - alpha) * x
@@ -173,22 +211,29 @@ def _stage2_kernel(q_ref, a0_ref, p_ref, zl_ref, zu_ref, rho_ref, pc_ref,
 def fused_stage2(state: IterState, data: QPBatch, rho_vec: jax.Array,
                  *, num_iters: int, cg_iters: int = 100,
                  sigma: float = 6e-6, tol: float = 1e-8,
-                 interpret: bool = False, solver: str = "direct",
-                 refine: int = 2
+                 interpret: bool = False, solver: str = "kkt",
+                 refine: int = None
                  ) -> Tuple[IterState, jax.Array, jax.Array]:
     """Run ``num_iters`` fused polish steps; returns (state', pr, dr) with
     per-step primal/dual residual traces of shape (B, num_iters).
 
-    ``solver='direct'`` factors the loop-invariant condensed system once
-    (batched XLA Cholesky → explicit M⁻¹) and solves in-kernel by MXU
-    matvec + ``refine`` refinement passes; ``solver='cg'`` is the
-    matrix-free Jacobi-CG fallback (no factorization, lower accuracy).
+    ``solver='kkt'`` (default) inverts the loop-invariant FULL saddle-point
+    matrix once (batched XLA LU → explicit f32 Ã⁻¹) and solves in-kernel by
+    one MXU matvec per polish step — LU-route accuracy (cond(Ã) ~ 1e2).
+    ``solver='direct'`` is the condensed-system variant (explicit M⁻¹ + f32
+    refinement, accuracy-limited at cond(M)); ``solver='cg'`` the
+    matrix-free Jacobi-CG fallback (no factorization, lowest accuracy).
+    ``refine`` defaults per solver: 0 for 'kkt' (the f32 inverse already
+    solves to ~1e-7 rel; f32-residual refinement adds nothing), 2 for
+    'direct'.
 
     Operates in whatever space ``data`` lives in — callers follow the
     reference and pass ORIGINAL (unscaled) data and pre-unscaled iterates
     (rollouts.unscale_state), reference: main.py:1017-1064."""
-    if solver not in ("direct", "cg"):
+    if solver not in ("kkt", "direct", "cg"):
         raise ValueError(f"unknown stage2 solver {solver!r}")
+    if refine is None:
+        refine = 0 if solver == "kkt" else 2
     B = data.p.shape[0]
     n_true, m_true = data.num_var, data.num_constr
     n = _round_up(n_true, 128)
@@ -203,7 +248,25 @@ def fused_stage2(state: IterState, data: QPBatch, rho_vec: jax.Array,
                     * jnp.ones((B, m_true), jnp.float32), m, 1,
                     fill=1.0)[:, None]
     rho_full = rho_vec * jnp.ones((B, m_true), jnp.float32)
-    if solver == "direct":
+    if solver == "kkt":
+        # One-time batched f32 inverse of the padded full KKT matrix.
+        # Padding keeps each block 128-aligned and decoupled: the padded
+        # x-block diagonal is 1, the padded ν-block diagonal −1 (rho pad
+        # fill 1.0), so Ã_pad is invertible and its inverse acts as the
+        # identity on the (all-zero) padded entries of b̃.
+        dx = jnp.where(jnp.arange(n) < n_true, jnp.float32(sigma),
+                       jnp.float32(1.0))
+        top = jnp.concatenate(
+            [Q + dx * jnp.eye(n, dtype=jnp.float32),
+             jnp.swapaxes(A0, 1, 2)], axis=-1)             # (B, n, n+m)
+        bot = jnp.concatenate(
+            [A0, -(1.0 / rho[:, 0])[:, :, None]
+             * jnp.eye(m, dtype=jnp.float32)], axis=-1)    # (B, m, n+m)
+        At = jnp.concatenate([top, bot], axis=1)
+        with jax.default_matmul_precision("highest"):
+            pc = jnp.linalg.inv(At)
+        pc_spec_dims = (n + m, n + m)
+    elif solver == "direct":
         # One-time batched factorization of the loop-invariant condensed
         # SPD system; the kernel carries the explicit inverse.  f32
         # HIGHEST matmuls — this is the precision stage.
@@ -257,13 +320,20 @@ def fused_stage2(state: IterState, data: QPBatch, rho_vec: jax.Array,
                    jax.ShapeDtypeStruct((B, 1, num_iters), f32)],
         scratch_shapes=[pltpu.VMEM((1, n), f32), pltpu.VMEM((1, m), f32),
                         pltpu.VMEM((1, m), f32), pltpu.VMEM((1, n), f32),
-                        pltpu.VMEM((1, n), f32), pltpu.VMEM((1, n), f32)],
+                        pltpu.VMEM((1, n + m if solver == "kkt" else n),
+                                    f32),
+                        pltpu.VMEM((1, n + m if solver == "kkt" else n),
+                                    f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * num_iters * (cg_iters + 2)
-            * (n * n + 2 * m * n),
-            bytes_accessed=4 * B * (n * n + m * n),
+            flops=2 * B * num_iters
+            * ((n + m) ** 2 * (refine + 1) + n * n + 2 * m * n
+               if solver == "kkt"
+               else (cg_iters + 2) * (n * n + 2 * m * n)),
+            bytes_accessed=4 * B * (n * n + m * n
+                                    + ((n + m) ** 2 if solver == "kkt"
+                                       else 0)),
             transcendentals=0),
         interpret=interpret,
     )(Q, A0, p, zl, zu, rho, pc, x0, y0, z0, xt0)

@@ -82,7 +82,7 @@ def main():
     out = {"shape": dict(B=B, n=n, mi=mi, me=me, h=h, K=K,
                          feas_rest=args.feas_rest)}
 
-    for s2 in ("fused", "lu"):
+    for s2 in ("fused", "fused-direct", "lu"):
         solve = make_solver(params, hidden_dim=h, num_iters=K,
                             feas_rest_num=args.feas_rest,
                             use_pallas=True, gate_dtype="bfloat16",

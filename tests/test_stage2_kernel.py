@@ -70,6 +70,30 @@ def test_fused_stage2_direct_matches_lu():
                                    rtol=1e-3, atol=1e-4, err_msg=name)
 
 
+def test_fused_stage2_kkt_matches_lu():
+    """The 'kkt' solver (explicit f32 inverse of the FULL saddle-point
+    matrix, the default) solves the same linear system the LU route
+    factors — trajectories must agree much tighter than the condensed
+    'direct' solver, whose accuracy is limited by cond(M) ≫ cond(Ã)."""
+    from iadmm_tpu.solvers.exact import feasibility_restoration
+
+    data, st, rho_vec = _setup(B=2, n=20, mi=12, me=10)
+    N = 15
+    ref = feasibility_restoration(st, data, 1e-4, rho_vec, N)
+    out, pr, dr = fused_stage2(st, data, rho_vec, num_iters=N,
+                               sigma=1e-4, solver="kkt", interpret=True)
+    for name in ("x", "y", "z"):
+        np.testing.assert_allclose(np.asarray(getattr(out, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   rtol=2e-5, atol=2e-6, err_msg=name)
+    # one f32-KKT refinement pass must not break anything
+    out_r, _, _ = fused_stage2(st, data, rho_vec, num_iters=N,
+                               sigma=1e-4, solver="kkt", refine=1,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out_r.x), np.asarray(ref.x),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_fused_stage2_rejects_unknown_solver():
     import pytest
 
