@@ -46,8 +46,14 @@ WORKLOADS = {
     "Random_QP": dict(prob_type="Random_QP", num_var=1000, num_ineq=2000,
                       outer_T=600, truncated_length=150, hidden_dim=200,
                       eq_tol=1.0, remat=True, preload_dtype="bfloat16"),
+    # SVM: A0 is (940, 2500, 2000) -> 8.9 GB bf16, just over the 8 GB auto
+    # budget; Q is diagonal (weights 1, slacks 0) so the diag-Q preload
+    # leaves ~7 GB HBM for the K=50 working set.  'always' keeps the
+    # whole-epoch scan (the per-batch fallback is ~470 tunnel dispatches
+    # per epoch and would miss the family's tight 0.01 gate in-budget).
     "SVM": dict(prob_type="SVM", num_var=1500, num_ineq=500, outer_T=50,
-                truncated_length=50, hidden_dim=800, eq_tol=0.01),
+                truncated_length=50, hidden_dim=800, eq_tol=0.01,
+                preload="always", preload_dtype="bfloat16"),
 }
 
 
