@@ -175,29 +175,37 @@ def generate_svm(num_var: int, num_ineq: int, data_size: int,
     G=[diag(b̂)Â, -I] and identity box rows appended into A0
     (reference: generate_data.py:177-228).
     """
+    # Built float32 and strictly in place: at the canonical size
+    # (n=1500, mi=500, N=1000) the dense f64 Q/A0/G buffers of the naive
+    # construction total ~80 GB; f32 with G aliased into A0 is ~36 GB.
     n, mi, N = num_var, num_ineq, data_size
     ntot = n + mi
-    Q = np.zeros((N, ntot, ntot))
+    f32 = np.float32
+    Q = np.zeros((N, ntot, ntot), dtype=f32)
     Q[:, np.arange(n), np.arange(n)] = 1.0
-    p = np.empty((N, ntot))
-    G = np.empty((N, mi, ntot))
+    p = np.empty((N, ntot), dtype=f32)
     half = mi // 2
     b_hat = np.concatenate([np.ones(half), -np.ones(mi - half)])
+    A0 = np.zeros((N, mi + ntot, ntot), dtype=f32)
+    A0[:, mi:, :] = np.eye(ntot, dtype=f32)
+    neg_eye = -np.eye(mi)
     for i in range(N):
         lamb = rng.normal(1.0)
-        p[i] = np.concatenate([np.zeros(n), lamb * np.ones(mi)])
+        p[i, :n] = 0.0
+        p[i, n:] = lamb
         A_hat = np.concatenate([
             rng.normal(1.0 / n, 1.0 / n, (half, n)),
             rng.normal(-1.0 / n, 1.0 / n, (mi - half, n)),
         ])
-        A_hat = A_hat * (rng.random((mi, n)) < sparsity)
-        G[i] = np.concatenate([b_hat[:, None] * A_hat, -np.eye(mi)], axis=1)
-    c = -np.ones((N, mi))
-    lb = np.concatenate([np.full((N, n), -np.inf), np.zeros((N, mi))], axis=-1)
-    ub = np.full((N, ntot), np.inf)
-    eye = np.broadcast_to(np.eye(ntot), (N, ntot, ntot))
-    A0 = np.concatenate([G, eye], axis=-2)
-    zl = np.concatenate([np.full((N, mi), -np.inf), lb], axis=-1)
+        A_hat *= rng.random((mi, n)) < sparsity
+        A0[i, :mi, :n] = b_hat[:, None] * A_hat
+        A0[i, :mi, n:] = neg_eye
+    G = A0[:, :mi, :]
+    c = -np.ones((N, mi), dtype=f32)
+    lb = np.concatenate([np.full((N, n), -np.inf, dtype=f32),
+                         np.zeros((N, mi), dtype=f32)], axis=-1)
+    ub = np.full((N, ntot), np.inf, dtype=f32)
+    zl = np.concatenate([np.full((N, mi), -np.inf, dtype=f32), lb], axis=-1)
     zu = np.concatenate([c, ub], axis=-1)
     return RawDataset("SVM", Q, p, A0, zl, zu, G=G, c=c, lb=lb, ub=ub)
 
