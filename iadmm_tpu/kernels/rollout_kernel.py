@@ -281,7 +281,7 @@ def fused_rollout_sharded(params: Dict, data: QPBatch, mesh, *,
     the kernel on its shard of the instance batch; no collectives (QPs are
     i.i.d.).  Batch must be divisible by the mesh size."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(params, data):
         return fused_rollout(params, data, hidden=hidden, K=K, sigma=sigma)
@@ -291,4 +291,4 @@ def fused_rollout_sharded(params: Dict, data: QPBatch, mesh, *,
         local, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P(), params), data_spec),
         out_specs=(P("data"), P("data"), P("data")),
-        check_rep=False)(params, data)
+        check_vma=False)(params, data)

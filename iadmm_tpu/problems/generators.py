@@ -71,7 +71,8 @@ class RawDataset:
 def _stack_ineq_eq(G, c, A, b):
     """A0 = [G; A], zl = [-inf; b], zu = [c; b] (reference: generate_data.py:74-76)."""
     A0 = np.concatenate([G, A], axis=-2)
-    zl = np.concatenate([np.full(c.shape, -np.inf), b], axis=-1)
+    zl = np.concatenate([np.full(c.shape, -np.inf, dtype=c.dtype), b],
+                        axis=-1)
     zu = np.concatenate([c, b], axis=-1)
     return A0, zl, zu
 
@@ -79,15 +80,21 @@ def _stack_ineq_eq(G, c, A, b):
 def generate_qp(num_var: int, num_ineq: int, num_eq: int, data_size: int,
                 rng: np.random.Generator) -> RawDataset:
     """``QP`` family: per-instance diagonal Q, Gaussian A/G, feasible c
-    (reference: generate_data.py:63-94)."""
+    (reference: generate_data.py:63-94).
+
+    Built float32 (the reference generates with torch's default f32 too);
+    at the 1500-var size the f64 construction needs ~75 GB host RAM and
+    doubles the on-disk npz for no downstream benefit (the device path is
+    f32/bf16 and the oracle re-solves in f64 regardless)."""
     n, mi, me, N = num_var, num_ineq, num_eq, data_size
-    Qdiag = 0.5 * rng.random((N, n))
-    Q = np.zeros((N, n, n))
+    f32 = np.float32
+    Qdiag = 0.5 * rng.random((N, n), dtype=f32)
+    Q = np.zeros((N, n, n), dtype=f32)
     Q[:, np.arange(n), np.arange(n)] = Qdiag
-    p = rng.random((N, n))
-    A = rng.normal(0.0, 1.0, (N, me, n))
-    b = 2.0 * rng.random((N, me)) - 1.0
-    G = rng.normal(0.0, 1.0, (N, mi, n))
+    p = rng.random((N, n), dtype=f32)
+    A = rng.standard_normal((N, me, n), dtype=f32)
+    b = (2.0 * rng.random((N, me), dtype=f32) - 1.0).astype(f32)
+    G = rng.standard_normal((N, mi, n), dtype=f32)
     # feasibility trick: c = sum_cols |G @ pinv(A)| guarantees a feasible x.
     c = np.abs(G @ np.linalg.pinv(A)).sum(axis=-1)
     A0, zl, zu = _stack_ineq_eq(G, c, A, b)
@@ -130,22 +137,27 @@ def generate_random_qp(num_var: int, num_ineq: int, data_size: int,
     reference stores (MMᵀ+0.01I)*0.5 as the half Hessian; two-sided box
     inequality rows (reference: generate_data.py:96-134).
 
-    The metric view is G=[A0;-A0], c=[zu;-zl] so one-sided violation
-    reporting covers both bounds (reference: generate_data.py:115-116).
+    The metric view G=[A0;-A0], c=[zu;-zl] (one-sided violation reporting
+    covering both bounds, reference: generate_data.py:115-116) is NOT
+    materialized here — it would double the dataset (15 GB at the canonical
+    size).  ``io.to_qp_batch`` derives it on device per batch; storage and
+    host RAM keep only A0.
     """
     n, mi, N = num_var, num_ineq, data_size
-    Q = np.empty((N, n, n))
-    A0 = np.empty((N, mi, n))
+    f32 = np.float32
+    Q = np.empty((N, n, n), dtype=f32)
+    A0 = np.empty((N, mi, n), dtype=f32)
     for i in range(N):
-        M = rng.standard_normal((n, n)) * (rng.random((n, n)) < sparsity)
-        Q[i] = (M @ M.T + 0.01 * np.eye(n)) * 0.5
-        A0[i] = rng.standard_normal((mi, n)) * (rng.random((mi, n)) < sparsity)
-    p = rng.standard_normal((N, n))
-    zl = -rng.random((N, mi))
-    zu = rng.random((N, mi))
-    G = np.concatenate([A0, -A0], axis=-2)
-    c = np.concatenate([zu, -zl], axis=-1)
-    return RawDataset("Random_QP", Q, p, A0, zl, zu, G=G, c=c)
+        M = rng.standard_normal((n, n), dtype=f32)
+        M *= rng.random((n, n)) < sparsity
+        Q[i] = (M @ M.T + 0.01 * np.eye(n, dtype=f32)) * 0.5
+        Ai = rng.standard_normal((mi, n), dtype=f32)
+        Ai *= rng.random((mi, n)) < sparsity
+        A0[i] = Ai
+    p = rng.standard_normal((N, n), dtype=f32)
+    zl = -rng.random((N, mi), dtype=f32)
+    zu = rng.random((N, mi), dtype=f32)
+    return RawDataset("Random_QP", Q, p, A0, zl, zu)
 
 
 def generate_equality_qp(num_var: int, num_eq: int, data_size: int,
@@ -154,15 +166,21 @@ def generate_equality_qp(num_var: int, num_eq: int, data_size: int,
     """``Equality_QP`` family: sparse PSD Q, equality-only rows zl=zu=b
     (reference: generate_data.py:136-175)."""
     n, me, N = num_var, num_eq, data_size
-    Q = np.empty((N, n, n))
-    A = np.empty((N, me, n))
+    f32 = np.float32
+    Q = np.empty((N, n, n), dtype=f32)
+    A = np.empty((N, me, n), dtype=f32)
     for i in range(N):
-        M = rng.standard_normal((n, n)) * (rng.random((n, n)) < sparsity)
-        Q[i] = (M @ M.T + 0.01 * np.eye(n)) * 0.5
-        A[i] = rng.standard_normal((me, n)) * (rng.random((me, n)) < sparsity)
-    p = rng.standard_normal((N, n))
-    b = rng.standard_normal((N, me))
-    return RawDataset("Equality_QP", Q, p, A.copy(), b.copy(), b.copy(),
+        M = rng.standard_normal((n, n), dtype=f32)
+        M *= rng.random((n, n)) < sparsity
+        Q[i] = (M @ M.T + 0.01 * np.eye(n, dtype=f32)) * 0.5
+        Ai = rng.standard_normal((me, n), dtype=f32)
+        Ai *= rng.random((me, n)) < sparsity
+        A[i] = Ai
+    p = rng.standard_normal((N, n), dtype=f32)
+    b = rng.standard_normal((N, me), dtype=f32)
+    # A (the equality metric view) aliases A0 — save_npz stores one copy
+    # and load_npz restores the view.
+    return RawDataset("Equality_QP", Q, p, A, b.copy(), b.copy(),
                       A=A, b=b)
 
 
@@ -174,6 +192,12 @@ def generate_svm(num_var: int, num_ineq: int, data_size: int,
     Decision vector is [w; t] with n weights and mi slacks; hinge rows
     G=[diag(b̂)Â, -I] and identity box rows appended into A0
     (reference: generate_data.py:177-228).
+
+    NOTE: the returned ``G`` is a live VIEW of ``A0[:, :mi, :]`` (they share
+    memory, saving ~4 GB at the canonical size).  Any host-side in-place
+    edit of one mutates the other; device/oracle paths copy on cast so this
+    only matters for host-side preprocessing.  ``save_npz`` stores the
+    single copy and ``load_npz`` restores the view.
     """
     # Built float32 and strictly in place: at the canonical size
     # (n=1500, mi=500, N=1000) the dense f64 Q/A0/G buffers of the naive

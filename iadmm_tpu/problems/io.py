@@ -26,7 +26,12 @@ _OPTIONAL = ("G", "c", "A", "b", "lb", "ub", "x_opt", "y_opt")
 def save_npz(ds: RawDataset, path: str, compress: bool = False) -> None:
     """Single stacked ``.npz`` per dataset.  Uncompressed by default: the
     payload is random-ish float data (compression gains ~0%) and zlib makes
-    a 15 GB flagship dataset take >10 min to load vs seconds raw."""
+    a 15 GB flagship dataset take >10 min to load vs seconds raw.
+
+    Metric views that are row-blocks of ``A0`` (G = A0[:, :mi] and
+    A = A0[:, m-me:] — the [G; A] stacking of generate_data.py:74-76) are
+    NOT duplicated on disk; ``load_npz`` restores them as zero-copy views.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {"prob_type": np.asarray(ds.prob_type),
                "Q": ds.Q, "p": ds.p, "A0": ds.A0, "zl": ds.zl, "zu": ds.zu}
@@ -34,6 +39,20 @@ def save_npz(ds: RawDataset, path: str, compress: bool = False) -> None:
         v = getattr(ds, k)
         if v is not None:
             payload[k] = v
+    # Elide metric views that are exact row-blocks of A0 (shared-memory or
+    # value-equal): G is the first mi rows, A the last me rows.
+    if ds.G is not None and ds.c is not None:
+        mi = ds.c.shape[-1]
+        if (ds.G.shape == ds.A0[:, :mi].shape
+                and np.array_equal(ds.G, ds.A0[:, :mi])):
+            del payload["G"]
+            payload["G_rows_of_A0"] = np.asarray(mi, np.int64)
+    if ds.A is not None and ds.b is not None:
+        me = ds.b.shape[-1]
+        if (ds.A.shape == ds.A0[:, ds.A0.shape[1] - me:].shape
+                and np.array_equal(ds.A, ds.A0[:, ds.A0.shape[1] - me:])):
+            del payload["A"]
+            payload["A_rows_of_A0"] = np.asarray(me, np.int64)
     # Sparse on-disk storage for genuinely sparse matrices (reference keeps
     # CSC for its sparse families, generate_data.py:119-128).  COO triplets
     # cost 12 B/entry vs 4 B/dense-entry, so only densities < 1/3 shrink.
@@ -70,8 +89,13 @@ def load_npz(path: str) -> RawDataset:
             return M.reshape(shape)
 
         kw = {k: f[k] for k in _OPTIONAL if k in f}
+        A0 = mat("A0")
+        if "G_rows_of_A0" in f:        # view, zero-copy (see save_npz)
+            kw["G"] = A0[:, :int(f["G_rows_of_A0"])]
+        if "A_rows_of_A0" in f:
+            kw["A"] = A0[:, A0.shape[1] - int(f["A_rows_of_A0"]):]
         return RawDataset(prob_type=str(f["prob_type"]),
-                          Q=mat("Q"), p=f["p"], A0=mat("A0"),
+                          Q=mat("Q"), p=f["p"], A0=A0,
                           zl=f["zl"], zu=f["zu"], **kw)
 
 
@@ -137,11 +161,17 @@ def save_reference_gz_dir(ds: RawDataset, data_dir: str,
         return a[i if a.shape[0] > 1 else 0]
 
     col = lambda v: np.asarray(v, np.float64)[:, None]
+    derive_box = (ds.G is None and ds.prob_type.lower() == "random_qp")
     for i in range(ds.size):
         d = {"Q": np.asarray(sh(ds.Q, i), np.float64),
              "p": col(sh(ds.p, i)),
              "A0": np.asarray(sh(ds.A0, i), np.float64),
              "zl": col(ds.zl[i]), "zu": col(ds.zu[i])}
+        if derive_box:
+            # reference pickles store the materialized two-sided view
+            # (reference: generate_data.py:115-116)
+            d["G"] = np.concatenate([d["A0"], -d["A0"]])
+            d["c"] = np.concatenate([col(ds.zu[i]), -col(ds.zl[i])])
         for k, squeeze in (("G", False), ("A", False), ("c", True),
                            ("b", True), ("lb", True), ("ub", True)):
             v = getattr(ds, k)
@@ -221,6 +251,13 @@ def to_qp_batch(ds: RawDataset, idx=None, dtype=jnp.float32,
     if with_metric_views:
         kw = dict(G=arr(sub.G), c=arr(sub.c), A=arr(sub.A), b=arr(sub.b),
                   lb=arr(sub.lb), ub=arr(sub.ub))
+        if kw["G"] is None and sub.prob_type.lower() == "random_qp":
+            # Two-sided box rows: the G=[A0;-A0], c=[zu;-zl] view
+            # (reference: generate_data.py:115-116) is derived on device per
+            # batch instead of doubling the dataset on host/disk.
+            A0d = arr(sub.A0)
+            kw["G"] = jnp.concatenate([A0d, -A0d], axis=-2)
+            kw["c"] = jnp.concatenate([zu, -zl], axis=-1)
     return QPBatch(
         Q=arr(sub.Q) * 2.0, p=arr(sub.p), A0=arr(sub.A0),
         zl=zl, zu=zu, eq_mask=make_eq_mask(zl, zu), **kw)

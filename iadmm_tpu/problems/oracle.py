@@ -169,11 +169,34 @@ def label_dataset(ds, eps: float = 1e-4, max_iter: int = 20000,
     if backend == "native":
         from .. import native
         shared = ds.Q.shape[0] == 1 and ds.size > 1
-        Pn = np.asarray(ds.Q[0] if shared else ds.Q, np.float64) * 2.0
-        x, y, iters, status = native.solve_qp_batch(
-            Pn, ds.p[0] if shared else ds.p,
-            ds.A0[0] if shared else ds.A0, ds.zl, ds.zu,
-            eps_abs=eps, eps_rel=eps, max_iter=max_iter)
+        if shared:
+            Pn = np.asarray(ds.Q[0], np.float64) * 2.0  # single matrix
+            x, y, iters, status = native.solve_qp_batch(
+                Pn, ds.p[0], ds.A0[0], ds.zl, ds.zu,
+                eps_abs=eps, eps_rel=eps, max_iter=max_iter)
+        else:
+            # Chunked conversion: the solver wants contiguous f64 P/A, and
+            # a whole-dataset cast would transiently need ~2x the dataset
+            # in f64 (an f32 SVM dataset is ~35 GB -> ~70 GB f64).  Cap the
+            # f64 staging at ~4 GB per chunk instead.
+            n = ds.Q.shape[-1]
+            m = ds.A0.shape[-2]
+            per_inst = 8 * (n * n + m * n)
+            chunk = max(1, int(4e9 // per_inst))
+            outs = []
+            for s in range(0, ds.size, chunk):
+                sl = slice(s, s + chunk)
+                Pc = ds.Q[sl].astype(np.float64)  # always copies
+                Pc *= 2.0
+                outs.append(native.solve_qp_batch(
+                    Pc, ds.p[sl], ds.A0[sl], ds.zl[sl], ds.zu[sl],
+                    eps_abs=eps, eps_rel=eps, max_iter=max_iter))
+                if verbose:
+                    done = min(s + chunk, ds.size)
+                    print(f"native oracle: {done}/{ds.size} ...",
+                          flush=True)
+            x, y, iters, status = (np.concatenate([o[i] for o in outs])
+                                   for i in range(4))
         solved_ids = np.nonzero(status == 0)[0]
         if verbose:
             print(f"native oracle: {len(solved_ids)}/{ds.size} solved, "

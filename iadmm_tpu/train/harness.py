@@ -426,9 +426,13 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     if cfg.sparse:
         from ..kernels import sparse as sparse_mod  # noqa: F811
         if mesh is not None:
+            import warnings
+            warnings.warn(
+                "sparse=True trains single-device: the BCOO solver matvecs "
+                "are not shard_map-partitioned yet, so the data-parallel "
+                "mesh is disabled (dense training would use "
+                f"{ndev} devices)", stacklevel=2)
             mesh = None
-            if verbose:
-                print("sparse path is single-device; data-parallel mesh off")
 
     # Fused training megakernel: the whole TBPTT segment (fwd + hand-derived
     # bwd) runs VMEM-resident in two Pallas kernels (kernels/train_rollout).

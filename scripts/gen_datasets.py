@@ -28,9 +28,11 @@ def main():
     from iadmm_tpu.problems import generate, label_dataset
     from iadmm_tpu.problems.io import dataset_path, save_npz
 
-    wanted = sys.argv[1:] or [k for k in ("Equality_QP", "QP_RHS", "SVM",
-                                          "Random_QP", "QP_RHS_1500",
-                                          "QP_1500")]
+    # Default order = the chip queue's needs: small/shared-LHS families
+    # first so training can start while the big ones are still labeling.
+    wanted = sys.argv[1:] or [k for k in ("QP_RHS", "QP", "Random_QP",
+                                          "SVM", "QP_1500", "QP_RHS_1500",
+                                          "Equality_QP")]
     for fam in wanted:
         w = WORKLOADS[fam]
         path = dataset_path("./datasets", w["prob_type"], w["num_var"],
