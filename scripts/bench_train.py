@@ -48,10 +48,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--skip_step", action="store_true")
+    ap.add_argument("--skip_fused", action="store_true")
     ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=2,
+                    help="instance batch; 2 = the reference's latency-bound "
+                         "protocol (main.py:55), 8/16 = throughput mode")
     args = ap.parse_args()
 
-    B, n, mi, me, h = 2, 1000, 500, 500, 800
+    B, n, mi, me, h = args.batch, 1000, 500, 500, 800
     K = args.chunk
     log(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
 
@@ -68,6 +72,20 @@ def main():
     opt_state = optimizer.init(params)
     out = {"shape": dict(B=B, n=n, mi=mi, me=me, h=h, chunk=K)}
 
+    # Model FLOPs per training iteration (fwd + standard 2x for bwd):
+    # gate GEMMs over B*(n+m) tokens (in 2->4h, recurrent h->4h, head h->1)
+    # + the KKT-feature matvecs (Qx, two A0 contractions, ~4*(n+m)^2 per
+    # instance).  MFU = model FLOPs / wall / v5e bf16 peak (197 TF/s).
+    tok = B * (n + mi + me)
+    gate_flops = 2 * tok * (4 * h * (2 + h) + h)
+    matvec_flops = 2 * B * 4 * (n + mi + me) ** 2
+    flops_per_iter = 3 * (gate_flops + matvec_flops)
+    out["model_flops_per_iter"] = flops_per_iter
+
+    def derived(ms_per_iter):
+        return dict(instance_iters_per_s=B / (ms_per_iter * 1e-3),
+                    mfu=flops_per_iter / (ms_per_iter * 1e-3) / 197e12)
+
     if not args.skip_step:
         step_fn, impl = best_lstm_step()
         log(f"step impl: {impl}")
@@ -76,27 +94,39 @@ def main():
         best, l0 = time_chunk(chunk_step, dict(params), optimizer.init(params),
                               st, data, args.reps, f"step[{impl}]")
         out["step"] = dict(impl=impl, ms_per_iter=best * 1e3 / K,
-                           chunk_s=best, loss0=l0)
-        log(f"step[{impl}]: {best * 1e3 / K:.3f} ms/iter")
+                           chunk_s=best, loss0=l0,
+                           **derived(best * 1e3 / K))
+        log(f"step[{impl}]: {best * 1e3 / K:.3f} ms/iter "
+            f"({out['step']['instance_iters_per_s']:.0f} inst_it/s, "
+            f"MFU {out['step']['mfu']:.2f})")
 
-    from iadmm_tpu.kernels.train_rollout import make_fused_chunk_loss
-    fused_loss = make_fused_chunk_loss(
-        num_var=n, num_constr=mi + me, batch=B, hidden=h, sigma=6e-6,
-        chunk_len=K, outer_T=K, K_total=K, compute_dtype="bfloat16",
-        interpret=jax.default_backend() != "tpu")
-    chunk_fused = make_train_chunk(None, optimizer, K, K, 6e-6,
-                                   loss_fn=fused_loss)
-    st = init_state(B, n, mi + me, h, dtype=jnp.float32)
-    # the step-backend chunk donates its params/opt_state buffers, so
-    # re-materialize identical params rather than reusing deleted arrays
-    params = lstm_init(jax.random.PRNGKey(0), input_dim=2, hidden_dim=h,
-                       length=K)
-    best, l0 = time_chunk(chunk_fused, dict(params), optimizer.init(params),
-                          st, data, args.reps, "fused-train")
-    out["fused"] = dict(ms_per_iter=best * 1e3 / K, chunk_s=best, loss0=l0)
-    log(f"fused-train: {best * 1e3 / K:.3f} ms/iter")
+    if not args.skip_fused:
+        from iadmm_tpu.kernels.train_rollout import make_fused_chunk_loss
+        try:
+            fused_loss = make_fused_chunk_loss(
+                num_var=n, num_constr=mi + me, batch=B, hidden=h, sigma=6e-6,
+                chunk_len=K, outer_T=K, K_total=K, compute_dtype="bfloat16",
+                interpret=jax.default_backend() != "tpu")
+            chunk_fused = make_train_chunk(None, optimizer, K, K, 6e-6,
+                                           loss_fn=fused_loss)
+            st = init_state(B, n, mi + me, h, dtype=jnp.float32)
+            # the step-backend chunk donates its params/opt_state buffers, so
+            # re-materialize identical params rather than reusing deleted
+            # arrays
+            params = lstm_init(jax.random.PRNGKey(0), input_dim=2,
+                               hidden_dim=h, length=K)
+            best, l0 = time_chunk(chunk_fused, dict(params),
+                                  optimizer.init(params),
+                                  st, data, args.reps, "fused-train")
+            out["fused"] = dict(ms_per_iter=best * 1e3 / K, chunk_s=best,
+                                loss0=l0, **derived(best * 1e3 / K))
+            log(f"fused-train: {best * 1e3 / K:.3f} ms/iter "
+                f"({out['fused']['instance_iters_per_s']:.0f} inst_it/s)")
+        except Exception as e:  # e.g. VMEM overflow at large B
+            out["fused"] = dict(error=f"{type(e).__name__}: {e}"[:300])
+            log(f"fused-train skipped: {out['fused']['error']}")
 
-    if "step" in out:
+    if "step" in out and "ms_per_iter" in out.get("fused", {}):
         out["speedup"] = out["step"]["ms_per_iter"] / out["fused"]["ms_per_iter"]
         log(f"speedup fused vs step: {out['speedup']:.2f}x")
 

@@ -27,17 +27,26 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-WORK = "/tmp/refcheck"
+# Shape/protocol knobs are env-overridable so the same script covers both
+# the fast n=100 check and a canonical-ish n=300/K=100/h=400 run
+# (REFCHECK_N=300 REFCHECK_MI=150 ... REFCHECK_WORK=/tmp/refcheck300).
+_e = os.environ.get
+WORK = _e("REFCHECK_WORK", "/tmp/refcheck")
 REF = "/root/reference"
-N, MI, ME, K, H, DSIZE = 100, 50, 50, 50, 128, 100
+N = int(_e("REFCHECK_N", 100))
+MI = int(_e("REFCHECK_MI", 50))
+ME = int(_e("REFCHECK_ME", 50))
+K = int(_e("REFCHECK_K", 50))
+H = int(_e("REFCHECK_H", 128))
+DSIZE = int(_e("REFCHECK_DSIZE", 100))
 # The canonical lr=5e-5 is tuned for the n=1000/h=800 flagship and barely
 # moves at this tiny shape (val eq_max stuck ~0.92 after 100 epochs), so the
 # reference's tolerance gate never lets it save.  The cross-check compares
 # per-iteration eval curves on IDENTICAL weights, not training quality, so
 # use a workable lr and a gate the tiny model can pass.
-EPOCHS = 120
-LR = "5e-4"
-TOL = "1.0"
+EPOCHS = int(_e("REFCHECK_EPOCHS", 120))
+LR = _e("REFCHECK_LR", "5e-4")
+TOL = _e("REFCHECK_TOL", "1.0")
 
 RUNNER = textwrap.dedent("""
     import sys, runpy
@@ -202,9 +211,10 @@ def main():
                       f"(max rel diff over t: {rel.max():.4f})", flush=True)
 
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/reference_crosscheck.json", "w") as f:
+    art = _e("REFCHECK_OUT", "artifacts/reference_crosscheck.json")
+    with open(art, "w") as f:
         json.dump(out, f, indent=1)
-    print("-> artifacts/reference_crosscheck.json", flush=True)
+    print("->", art, flush=True)
 
 
 if __name__ == "__main__":
