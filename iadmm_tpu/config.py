@@ -47,6 +47,9 @@ class ExperimentConfig:
     batch_size: int = 2
     lr: float = 5e-5
     weight_decay: float = 0.0
+    clip_grad_norm: float = 0.0     # >0 = optax global-norm clip (TPU-native
+                                    # safety knob; reference has none — see
+                                    # harness.make_optimizer)
     num_epoch: int = 1000
     eq_tol: float = 0.2
     ineq_tol: float = 0.2

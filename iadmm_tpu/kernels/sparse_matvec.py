@@ -87,11 +87,12 @@ def bsr_from_dense(M: np.ndarray, tile: Tuple[int, int] = (128, 128),
 
 def _bsr_matvec_kernel(cols_ref, vals_ref, v_ref, out_ref, acc,
                        *, K: int, TM: int, TN: int):
+    r = pl.program_id(1)
     acc[...] = jnp.zeros_like(acc)
 
     def body(k, _):
-        col = cols_ref[0, 0, k]
-        seg = v_ref[0, pl.ds(col * TN, TN)].reshape(1, TN)
+        col = cols_ref[0, r, k]
+        seg = v_ref[0, 0, pl.ds(col * TN, TN)].reshape(1, TN)
         tile = vals_ref[0, 0, k]
         acc[...] += jax.lax.dot_general(
             seg, tile, (((1,), (1,)), ((), ())),
@@ -99,7 +100,7 @@ def _bsr_matvec_kernel(cols_ref, vals_ref, v_ref, out_ref, acc,
         return 0
 
     jax.lax.fori_loop(0, K, body, 0, unroll=False)
-    out_ref[0, 0] = acc[0]
+    out_ref[0, 0, 0] = acc[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -107,26 +108,33 @@ def bsr_matvec(bsr: BSRMatrix, v: jax.Array,
                interpret: bool = False) -> jax.Array:
     """y = M @ v batched: (B, m, n) ⊙ (B, n) -> (B, m), reading only the
     stored tiles.  ``v`` is padded and kept whole in VMEM (n is at most a
-    few thousand for the QP families — KBs)."""
+    few thousand for the QP families — KBs).
+
+    Block-spec shapes obey the Mosaic rule that the last two dims of every
+    block are tile-aligned or equal to the array dims: cols ride as one
+    full (R, K) SMEM block per instance, v gets a singleton axis so its
+    block is (1, n_pad), and the output is (B, R, 1, TM) so each grid step
+    owns an exactly-shaped (1, TM) slab."""
     B, R, K, TM, TN = bsr.vals.shape
     m, n = bsr.shape
     n_pad = _round_up(n, TN)
-    v_p = jnp.pad(v.astype(jnp.float32), ((0, 0), (0, n_pad - n)))
+    v_p = jnp.pad(v.astype(jnp.float32),
+                  ((0, 0), (0, n_pad - n)))[:, None, :]
 
     out = pl.pallas_call(
         functools.partial(_bsr_matvec_kernel, K=K, TM=TM, TN=TN),
         grid=(B, R),
         in_specs=[
-            pl.BlockSpec((1, 1, K), lambda b, r: (b, r, 0),
+            pl.BlockSpec((1, R, K), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, K, TM, TN), lambda b, r: (b, r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda b, r: (b, 0),
+            pl.BlockSpec((1, 1, n_pad), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, TM), lambda b, r: (b, r, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, TM), lambda b, r: (b, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, R, TM), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, R, 1, TM), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, TM), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * R * K * TM * TN,

@@ -160,6 +160,45 @@ def generate_random_qp(num_var: int, num_ineq: int, data_size: int,
     return RawDataset("Random_QP", Q, p, A0, zl, zu)
 
 
+def generate_sparse_qp(num_var: int, num_ineq: int, data_size: int,
+                       rng: np.random.Generator,
+                       bandwidth: int = 16) -> RawDataset:
+    """``Sparse_QP`` family: genuinely sparse (<10%-dense) banded QP.
+
+    The reference's "sparse" families (Random_QP/Equality_QP,
+    generate_data.py:119-175) draw ~50%-dense masks whose Gram products
+    are effectively dense, so its CSC storage is densified at load and the
+    compute path never exploits sparsity.  This family is the workload the
+    device sparse path (kernels/sparse.py BCOO route, kernels/sparse_matvec
+    BSR tiles) is *for*: Q = (BBᵀ + 0.01I)/2 with banded B (bandwidth w →
+    Q bandwidth 2w, density ≈ (4w+1)/n), and banded two-sided box rows
+    A0 (each row i covers columns around i·n/mi).  At n=1000, w=16 the
+    densities are ~6% (Q) and ~3% (A0) — tile-aligned bands, so the BSR
+    tile-occupancy matches the element density instead of saturating."""
+    n, mi, N = num_var, num_ineq, data_size
+    f32 = np.float32
+    w = bandwidth
+    idx = np.arange(n)
+    band_q = (np.abs(idx[:, None] - idx[None, :]) <= w)
+    Q = np.empty((N, n, n), dtype=f32)
+    A0 = np.empty((N, mi, n), dtype=f32)
+    centers = ((np.arange(mi) * n) // mi)
+    band_a = (np.abs(centers[:, None] - idx[None, :]) <= w)
+    for i in range(N):
+        M = rng.standard_normal((n, n), dtype=f32)
+        M *= band_q
+        # scale so diag(Q) is O(1) regardless of bandwidth
+        Q[i] = (M @ M.T) / (2 * w + 1) + 0.01 * np.eye(n, dtype=f32)
+        Q[i] *= 0.5
+        Ai = rng.standard_normal((mi, n), dtype=f32)
+        Ai *= band_a
+        A0[i] = Ai
+    p = rng.standard_normal((N, n), dtype=f32)
+    zl = -rng.random((N, mi), dtype=f32)
+    zu = rng.random((N, mi), dtype=f32)
+    return RawDataset("Sparse_QP", Q, p, A0, zl, zu)
+
+
 def generate_equality_qp(num_var: int, num_eq: int, data_size: int,
                          rng: np.random.Generator,
                          sparsity: float = 0.5) -> RawDataset:
@@ -268,7 +307,8 @@ def generate_portfolio(num_var: int, num_factors: int, data_size: int,
     return RawDataset("Portfolio", Q, p, A0, zl, zu, A=A, b=b, lb=lb, ub=ub)
 
 
-FAMILIES = ("QP", "QP_RHS", "Random_QP", "Equality_QP", "SVM", "Portfolio")
+FAMILIES = ("QP", "QP_RHS", "Random_QP", "Sparse_QP", "Equality_QP", "SVM",
+            "Portfolio")
 
 
 def generate(prob_type: str, *, num_var: int, data_size: int,
@@ -282,6 +322,8 @@ def generate(prob_type: str, *, num_var: int, data_size: int,
         return generate_qp_rhs(num_var, num_ineq, num_eq, data_size, rng)
     if prob_type == "Random_QP":
         return generate_random_qp(num_var, num_ineq, data_size, rng)
+    if prob_type == "Sparse_QP":
+        return generate_sparse_qp(num_var, num_ineq, data_size, rng)
     if prob_type == "Equality_QP":
         return generate_equality_qp(num_var, num_eq, data_size, rng)
     if prob_type == "SVM":

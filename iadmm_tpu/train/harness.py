@@ -57,14 +57,23 @@ from .early_stopping import EarlyStopping
 from . import checkpoint as ckpt
 
 
-def make_optimizer(lr: float, weight_decay: float = 0.0):
+def make_optimizer(lr: float, weight_decay: float = 0.0,
+                   clip_grad_norm: float = 0.0):
     """Adam with torch-style L2 weight decay (grad += wd * param before the
     moment updates), matching ``optim.Adam(..., weight_decay=...)``
-    (reference: main.py:191)."""
+    (reference: main.py:191).
+
+    ``clip_grad_norm > 0`` prepends global-norm gradient clipping.  The
+    reference (f32 torch) has no clipping; with bf16 gates a rare bad TBPTT
+    chunk can spike the loss ~100x and permanently derail Adam (observed:
+    QP_RHS epoch 174, loss 335 -> 45068, artifacts/QP_RHS_full.json), so
+    long convergence runs opt in.  Clipping only alters steps whose global
+    grad norm exceeds the threshold — steady-state steps are untouched."""
+    tx = [optax.clip_by_global_norm(clip_grad_norm)] if clip_grad_norm else []
     if weight_decay:
-        return optax.chain(optax.add_decayed_weights(weight_decay),
-                           optax.adam(lr))
-    return optax.adam(lr)
+        tx.append(optax.add_decayed_weights(weight_decay))
+    tx.append(optax.adam(lr))
+    return optax.chain(*tx) if len(tx) > 1 else tx[0]
 
 
 def make_train_chunk(step_fn, optimizer, outer_T: int, chunk_len: int,
@@ -218,7 +227,12 @@ def device_memory_budget(default: float = 8e9, frac: float = 0.6) -> float:
     (leaving room for activations + the val set).  The tunnelled TPU backend
     reports no memory_stats, so the fallback assumes the v5e's 16 GB HBM:
     8 GB preload leaves half the chip for the training working set (the
-    flagship epoch-scan peaks ~2-3 GB beyond the stack)."""
+    flagship epoch-scan peaks ~2-3 GB beyond the stack).  On a backend with
+    different HBM and no memory_stats, set ``IADMM_HBM_BYTES`` to the real
+    per-device capacity (the fallback is otherwise a silent guess)."""
+    env = os.environ.get("IADMM_HBM_BYTES")
+    if env:
+        return frac * float(env)
     try:
         stats = jax.devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit") or stats.get(
@@ -227,6 +241,11 @@ def device_memory_budget(default: float = 8e9, frac: float = 0.6) -> float:
             return frac * float(limit)
     except Exception:
         pass
+    profiling.log_once(
+        "hbm-budget-fallback",
+        f"device_memory_budget: backend reports no memory_stats; assuming "
+        f"{default / 1e9:.0f} GB preload budget (v5e 16 GB HBM x {frac}). "
+        f"Set IADMM_HBM_BYTES if this device differs.")
     return default
 
 
@@ -372,7 +391,8 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     params = cell.init(key, cfg.input_dim, cfg.hidden_dim, cfg.outer_T,
                        **({"inner_T": cfg.inner_T}
                           if cfg.model_name == "multi_layer_lstm" else {}))
-    optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
+    optimizer = make_optimizer(cfg.lr, cfg.weight_decay,
+                               cfg.clip_grad_norm)
     opt_state = optimizer.init(params)
 
     # Step backend: Pallas fused cell / matvec precision profile apply to
@@ -426,13 +446,14 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     if cfg.sparse:
         from ..kernels import sparse as sparse_mod  # noqa: F811
         if mesh is not None:
-            import warnings
-            warnings.warn(
-                "sparse=True trains single-device: the BCOO solver matvecs "
-                "are not shard_map-partitioned yet, so the data-parallel "
-                "mesh is disabled (dense training would use "
-                f"{ndev} devices)", stacklevel=2)
-            mesh = None
+            # Refuse rather than silently train single-device: the BCOO
+            # solver matvecs are not shard_map-partitioned yet, and a user
+            # who configured data parallelism should not get 1/ndev the
+            # throughput without saying so.
+            raise ValueError(
+                f"sparse=True is single-device (BCOO matvecs are not "
+                f"partitioned over the data mesh yet) but {ndev} devices "
+                f"are configured; set num_devices=1 to opt in explicitly")
 
     # Fused training megakernel: the whole TBPTT segment (fwd + hand-derived
     # bwd) runs VMEM-resident in two Pallas kernels (kernels/train_rollout).

@@ -21,6 +21,16 @@ from typing import Dict
 import jax
 import numpy as np
 
+_logged_once: set = set()
+
+
+def log_once(key: str, msg: str) -> None:
+    """Print ``msg`` at most once per process (keyed diagnostics that would
+    otherwise spam per-epoch loops)."""
+    if key not in _logged_once:
+        _logged_once.add(key)
+        print(msg, flush=True)
+
 
 @contextlib.contextmanager
 def trace(logdir: str):

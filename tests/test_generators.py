@@ -117,3 +117,19 @@ def test_portfolio_family():
     # solutions satisfy budget + long-only within tolerance
     assert np.allclose(ds.x_opt.sum(-1), 1.0, atol=1e-3)
     assert (ds.x_opt >= -1e-4).all()
+
+
+def test_sparse_qp_family_is_genuinely_sparse():
+    """Sparse_QP at canonical n must be <10% dense (the device-sparse-path
+    demo workload, unlike the ~50%-mask reference families) and PSD."""
+    ds = generators.generate("Sparse_QP", num_var=1000, num_ineq=500,
+                             data_size=1, seed=3)
+    q_density = float((np.asarray(ds.Q[0]) != 0).mean())
+    a_density = float((np.asarray(ds.A0[0]) != 0).mean())
+    assert q_density < 0.10, q_density
+    assert a_density < 0.10, a_density
+    # PSD with the 0.005 diagonal floor
+    ev_min = float(np.linalg.eigvalsh(
+        np.asarray(ds.Q[0], np.float64)).min())
+    assert ev_min > 0
+    assert ds.prob_type == "Sparse_QP"
