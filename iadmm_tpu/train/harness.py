@@ -118,10 +118,13 @@ def make_train_epoch(step_fn, optimizer, outer_T: int, chunk_len: int,
     cost is dispatch latency (25+ ms/call on a tunnelled backend).  Scanning
     over the batch index (each leaf dynamic-sliced inside the body — the
     same lowering as scan-xs, but it admits shared un-stacked leaves)
-    collapses an epoch to a single dispatch; the TBPTT chunks are statically
-    unrolled inside the scan body (n_chunks is small).  Optimizer updates
-    stay *per chunk*, matching the reference's in-rollout stepping
-    (main.py:336-358)."""
+    collapses an epoch to a single dispatch; the TBPTT chunks run as an
+    inner ``lax.scan`` over the chunk index, so the compiled program holds
+    ONE chunk body regardless of outer_T/chunk_len (statically unrolling the
+    chunks quadrupled the program at the Random_QP workload — outer_T=600,
+    4 remat'd 150-step chunks, m=2000 — and crashed the TPU worker during
+    compile).  Optimizer updates stay *per chunk*, matching the reference's
+    in-rollout stepping (main.py:336-358)."""
     n_chunks = outer_T // chunk_len
     if loss_fn is None:
         def loss_fn(p, st, data, t0):
@@ -136,15 +139,21 @@ def make_train_epoch(step_fn, optimizer, outer_T: int, chunk_len: int,
                 lambda a: _index_batch(a, bi, batch_size), stacked)
             st = init_state(batch_size, data.num_var, data.num_constr,
                             hidden_dim, dtype=jnp.float32)
-            loss = jnp.zeros((), jnp.float32)
-            for ci in range(n_chunks):
-                t0 = jnp.asarray(ci * chunk_len, jnp.int32)
+
+            def per_chunk(ch_carry, ci):
+                params, opt_state, st = ch_carry
+                t0 = ci * chunk_len
                 (loss, st), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, st, data, t0)
                 updates, opt_state = optimizer.update(grads, opt_state,
                                                       params)
                 params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, st.x)
+                return (params, opt_state, st), loss
+
+            (params, opt_state, st), losses = jax.lax.scan(
+                per_chunk, (params, opt_state, st),
+                jnp.arange(n_chunks, dtype=jnp.int32))
+            return (params, opt_state), (losses[-1], st.x)
 
         (params, opt_state), (losses, xs) = jax.lax.scan(
             per_batch, (params, opt_state), jnp.arange(n_batches))
