@@ -154,14 +154,22 @@ def save_reference_gz_dir(ds: RawDataset, data_dir: str,
     """Export a RawDataset to the reference's per-instance gzip-pickle
     layout (reference: generate_data.py:86-92 payload: 2-D Q/A0, column
     vectors p/c/b/zl/zu, flat ground-truth x/y) so reference tooling can
-    train/evaluate on datasets produced by this framework."""
+    train/evaluate on datasets produced by this framework.
+
+    Non-QP/QP_RHS families are stored as scipy CSC: the reference's loader
+    calls ``.toarray()`` on EVERY field for those prob_types
+    (main.py:243-296), so dense payloads would crash it."""
     os.makedirs(data_dir, exist_ok=True)
+    as_sparse = ds.prob_type not in ("QP", "QP_RHS")
+    if as_sparse:
+        import scipy.sparse as sps
 
     def sh(a, i):  # shared leading dim (QP_RHS) broadcasts
         return a[i if a.shape[0] > 1 else 0]
 
     col = lambda v: np.asarray(v, np.float64)[:, None]
-    derive_box = (ds.G is None and ds.prob_type.lower() == "random_qp")
+    derive_box = (ds.G is None
+                  and ds.prob_type.lower() in ("random_qp", "sparse_qp"))
     for i in range(ds.size):
         d = {"Q": np.asarray(sh(ds.Q, i), np.float64),
              "p": col(sh(ds.p, i)),
@@ -178,6 +186,8 @@ def save_reference_gz_dir(ds: RawDataset, data_dir: str,
             if v is not None:
                 d[k] = col(sh(v, i)) if squeeze else np.asarray(
                     sh(v, i), np.float64)
+        if as_sparse:
+            d = {k: sps.csc_matrix(v) for k, v in d.items()}
         if ds.x_opt is not None:
             d["x"] = np.asarray(ds.x_opt[i], np.float64)
             d["y"] = np.asarray(ds.y_opt[i], np.float64)
@@ -251,7 +261,8 @@ def to_qp_batch(ds: RawDataset, idx=None, dtype=jnp.float32,
     if with_metric_views:
         kw = dict(G=arr(sub.G), c=arr(sub.c), A=arr(sub.A), b=arr(sub.b),
                   lb=arr(sub.lb), ub=arr(sub.ub))
-        if kw["G"] is None and sub.prob_type.lower() == "random_qp":
+        if kw["G"] is None and sub.prob_type.lower() in ("random_qp",
+                                                         "sparse_qp"):
             # Two-sided box rows: the G=[A0;-A0], c=[zu;-zl] view
             # (reference: generate_data.py:115-116) is derived on device per
             # batch instead of doubling the dataset on host/disk.

@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 _e = os.environ.get
 WORK = _e("REFCHECK_WORK", "/tmp/refcheck")
 REF = "/root/reference"
+PROB = _e("REFCHECK_PROB", "QP")   # QP | Equality_QP | Random_QP
 N = int(_e("REFCHECK_N", 100))
 MI = int(_e("REFCHECK_MI", 50))
 ME = int(_e("REFCHECK_ME", 50))
@@ -47,6 +48,19 @@ DSIZE = int(_e("REFCHECK_DSIZE", 100))
 EPOCHS = int(_e("REFCHECK_EPOCHS", 120))
 LR = _e("REFCHECK_LR", "5e-4")
 TOL = _e("REFCHECK_TOL", "1.0")
+
+# Family naming (reference main.py:78-115, 200-216): run tag for the
+# dataset dir / .pth / _results.mat, and the per-instance gz prefix.
+if PROB == "QP":
+    TAG, GZ_PREFIX = f"QP_{N}_{MI}_{ME}", "qp"
+elif PROB == "Equality_QP":
+    MI = 0
+    TAG, GZ_PREFIX = f"Equality_QP_{N}_{ME}", "equality_qp"
+elif PROB == "Random_QP":
+    ME = 0
+    TAG, GZ_PREFIX = f"Random_QP_{N}_{MI}", "random_qp"
+else:
+    raise SystemExit(f"unsupported REFCHECK_PROB={PROB}")
 
 RUNNER = textwrap.dedent("""
     import sys, runpy
@@ -99,7 +113,7 @@ CONFIGARGPARSE_SHIM = textwrap.dedent("""
 def ref_cmd(extra):
     base = [sys.executable, os.path.join(WORK, "run_ref.py"),
             "--config", f"{REF}/configs/QP.yaml",
-            "--prob_type", "QP", "--num_var", str(N),
+            "--prob_type", PROB, "--num_var", str(N),
             "--num_ineq", str(MI), "--num_eq", str(ME),
             "--data_size", str(DSIZE), "--hidden_dim", str(H),
             "--outer_T", str(K), "--truncated_length", str(K),
@@ -126,17 +140,17 @@ def main():
     with open(os.path.join(WORK, "configargparse.py"), "w") as f:
         f.write(CONFIGARGPARSE_SHIM)
 
-    gz_dir = os.path.join(WORK, "datasets", f"QP_{N}_{MI}_{ME}")
+    gz_dir = os.path.join(WORK, "datasets", TAG)
     if not os.path.isdir(gz_dir) or len(os.listdir(gz_dir)) < DSIZE:
-        ds = generate("QP", num_var=N, num_ineq=MI, num_eq=ME,
+        ds = generate(PROB, num_var=N, num_ineq=MI, num_eq=ME,
                       data_size=DSIZE, seed=17)
         ids = label_dataset(ds, eps=1e-4)
         assert len(ids) == DSIZE, "oracle failed on some instances"
-        save_reference_gz_dir(ds, gz_dir, "qp")
+        save_reference_gz_dir(ds, gz_dir, GZ_PREFIX)
         print(f"exported {DSIZE} instances -> {gz_dir}", flush=True)
 
     pth = os.path.join(WORK, "results", "lstm", "params",
-                       f"QP_{N}_{MI}_{ME}_{K}_{H}.pth")
+                       f"{TAG}_{K}_{H}.pth")
     if not os.path.exists(pth):
         t0 = time.time()
         r = subprocess.run(ref_cmd([]), cwd=WORK, capture_output=True,
@@ -151,7 +165,7 @@ def main():
             raise SystemExit("reference never reached its save gate")
 
     mat_path = os.path.join(WORK, "results", "lstm",
-                            f"QP_{N}_{MI}_{ME}_{K}_{H}_results.mat")
+                            f"{TAG}_{K}_{H}_results.mat")
     if not os.path.exists(mat_path):
         r = subprocess.run(ref_cmd(["--test", "--save_sol"]), cwd=WORK,
                            capture_output=True, text=True)
@@ -169,10 +183,10 @@ def main():
     sd = torch.load(pth, map_location="cpu")
     params = from_reference_naming(
         {k: v.detach().numpy() for k, v in sd.items()})
-    ds = load_dataset(os.path.join(WORK, "datasets"), "QP", N, MI, ME,
+    ds = load_dataset(os.path.join(WORK, "datasets"), PROB, N, MI, ME,
                       data_size=DSIZE)
     cfg = it.ExperimentConfig(
-        prob_type="QP", num_var=N, num_ineq=MI, num_eq=ME,
+        prob_type=PROB, num_var=N, num_ineq=MI, num_eq=ME,
         data_size=DSIZE, hidden_dim=H, outer_T=K, truncated_length=K,
         test_outer_T=K, test_batch_size=5, batch_size=2,
         val_frac=0.01, test_frac=0.05, seed=17, scaling=True,

@@ -46,6 +46,12 @@ WORKLOADS = {
     "Random_QP": dict(prob_type="Random_QP", num_var=1000, num_ineq=2000,
                       outer_T=600, truncated_length=150, hidden_dim=200,
                       eq_tol=1.0, remat=True, preload_dtype="bfloat16"),
+    # Sparse_QP: the device-sparse-path demo (no reference counterpart —
+    # its "sparse" families densify to ~50%).  BCOO solver matvecs, single
+    # device, no preload (the sparse route converts per batch on host).
+    "Sparse_QP": dict(prob_type="Sparse_QP", num_var=1000, num_ineq=500,
+                      outer_T=100, truncated_length=100, hidden_dim=400,
+                      eq_tol=0.5, sparse=True, num_devices=1),
     # SVM: A0 is (940, 2500, 2000) -> 8.9 GB bf16, just over the 8 GB auto
     # budget; Q is diagonal (weights 1, slacks 0) so the diag-Q preload
     # leaves ~7 GB HBM for the K=50 working set.  'always' keeps the
@@ -67,6 +73,12 @@ def main():
     ap.add_argument("--feas_rest", action="store_true")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate the existing checkpoint only")
+    ap.add_argument("--preload", default=None,
+                    choices=["auto", "always", "never"],
+                    help="override the HBM preload policy (never = "
+                         "per-batch streaming, no whole-epoch scan — the "
+                         "fallback when the preloaded epoch program is "
+                         "unstable on a backend)")
     ap.add_argument("--clip", type=float, default=0.0,
                     help="global-norm gradient clip (0 = off, reference "
                          "parity); long convergence runs use ~1.0 to "
@@ -85,6 +97,8 @@ def main():
     from iadmm_tpu.evaluation.driver import run_test
 
     w = dict(WORKLOADS[args.family])
+    if args.preload:
+        w["preload"] = args.preload
     feas_rest = args.feas_rest or w.pop("feas_rest", False)
     print("backend:", jax.default_backend(), "| workload:", args.family,
           "| feas_rest:", feas_rest, flush=True)
