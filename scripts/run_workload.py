@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--feas_rest", action="store_true")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate the existing checkpoint only")
+    ap.add_argument("--test_outer_T", type=int, default=None,
+                    help="override eval rollout length (e.g. 2x the "
+                         "training K to probe residual decay beyond the "
+                         "training horizon)")
     ap.add_argument("--preload", default=None,
                     choices=["auto", "always", "never"],
                     help="override the HBM preload policy (never = "
@@ -129,7 +133,7 @@ def main():
         batch_size=2, lr=5e-5, sigma=6e-6, seed=17,
         val_frac=0.01, test_frac=0.05, patience=100,
         num_epoch=args.epochs, train_hours=args.hours,
-        test_outer_T=w["outer_T"], test_batch_size=10,
+        test_outer_T=args.test_outer_T or w["outer_T"], test_batch_size=10,
         scaling=True, use_pallas=True, gate_dtype="bfloat16",
         matvec_mode="bf16", resume=args.resume,
         clip_grad_norm=args.clip,
