@@ -70,6 +70,10 @@ class ExperimentConfig:
     save_sol: bool = False
 
     # --- TPU-native additions (no reference counterpart) ---
+    epoch_scan: bool = True         # False = per-batch dispatch over the
+                                    # preloaded device stack (the whole-epoch
+                                    # compiled scan has crashed the tunnelled
+                                    # TPU worker on the largest workloads)
     num_devices: int = 0            # 0 = all visible devices (data-parallel)
     model_devices: int = 1          # tensor-parallel factor: shards the LSTM
                                     # hidden/gate axes over a 'model' mesh

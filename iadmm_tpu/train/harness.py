@@ -587,12 +587,22 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     # Only worth the larger compile when there are enough batches for the
     # per-batch dispatch latency to matter.
     epoch_fn = None
-    if stacked is not None and n_batches >= 8:
+    if stacked is not None and n_batches >= 8 and cfg.epoch_scan:
         epoch_fn = make_train_epoch(step_fn, optimizer, cfg.outer_T,
                                     cfg.truncated_length, cfg.sigma,
                                     cfg.batch_size, cfg.hidden_dim,
                                     n_batches, remat=cfg.remat,
                                     loss_fn=fused_loss)
+
+    index_stack = None
+    if stacked is not None and epoch_fn is None:
+        @jax.jit
+        def index_stack(stacked, cost_stack, bi):
+            data = jax.tree.map(
+                lambda a: _index_batch(a, bi, cfg.batch_size), stacked)
+            cost = (_index_batch(cost_stack, bi, cfg.batch_size)
+                    if cost_stack is not None else None)
+            return data, cost
 
     @jax.jit
     def last_batch_obj(x_last, stacked, cost_stack):
@@ -625,16 +635,24 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
         else:
             last = None
             for bi in range(n_batches):
-                ids = train_ids[bi * cfg.batch_size:
-                                (bi + 1) * cfg.batch_size]
-                data_orig = to_qp_batch(ds, ids)
-                if mesh is not None:
-                    data_orig = dist.shard_batch(data_orig, mesh)
-                if cfg.scaling:
-                    data, sc = scale_jit(data_orig)
-                    d_vec, cost = sc.d, sc.cost
+                if stacked is not None:
+                    # epoch_scan=False route: one jitted gather from the
+                    # device-resident scaled stack per batch — no host
+                    # staging (the 129 GB leak) and no 470-batch program
+                    # (the TPU-worker crash), at ~one dispatch per batch.
+                    data, cost = index_stack(stacked, cost_stack,
+                                             jnp.asarray(bi, jnp.int32))
                 else:
-                    data, d_vec, cost = data_orig, None, None
+                    ids = train_ids[bi * cfg.batch_size:
+                                    (bi + 1) * cfg.batch_size]
+                    data_orig = to_qp_batch(ds, ids)
+                    if mesh is not None:
+                        data_orig = dist.shard_batch(data_orig, mesh)
+                    if cfg.scaling:
+                        data, sc = scale_jit(data_orig)
+                        cost = sc.cost
+                    else:
+                        data, cost = data_orig, None
                 st = init_state(cfg.batch_size, data.num_var,
                                 data.num_constr, cfg.hidden_dim)
                 if mesh is not None:
@@ -646,6 +664,14 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                     params, opt_state, st, loss = train_chunk(
                         params, opt_state, st, chunk_data, t0)
                 last = (data, st, cost, loss)
+                # Periodic completion barrier: the tunnelled backend is
+                # fully async, so every streamed batch's host staging
+                # buffers stay pinned until a device->host fetch.  Without
+                # this, a 470-batch epoch over a 12 GB dataset grew the
+                # process to 129 GB and got OOM-killed (Random_QP,
+                # --preload never).  ~25 ms per fetch, every 16 batches.
+                if bi % 16 == 15:
+                    float(loss)
             data, st, cost, loss = last
             train_obj_dev = metrics.obj_fn(st.x, data.Q, data.p)
             if cost is not None:

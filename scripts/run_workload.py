@@ -77,6 +77,10 @@ def main():
                     help="override eval rollout length (e.g. 2x the "
                          "training K to probe residual decay beyond the "
                          "training horizon)")
+    ap.add_argument("--no_epoch_scan", action="store_true",
+                    help="preload on device but dispatch per batch instead "
+                         "of the whole-epoch compiled scan (the fallback "
+                         "when the 470-batch program crashes the worker)")
     ap.add_argument("--preload", default=None,
                     choices=["auto", "always", "never"],
                     help="override the HBM preload policy (never = "
@@ -103,6 +107,8 @@ def main():
     w = dict(WORKLOADS[args.family])
     if args.preload:
         w["preload"] = args.preload
+    if args.no_epoch_scan:
+        w["epoch_scan"] = False
     feas_rest = args.feas_rest or w.pop("feas_rest", False)
     print("backend:", jax.default_backend(), "| workload:", args.family,
           "| feas_rest:", feas_rest, flush=True)

@@ -171,3 +171,17 @@ def test_schedule_length_guard():
                            test_frac=1.0)
     with pytest.raises(ValueError, match="schedule"):
         run_test(cfg, ds, params, verbose=False)
+
+
+def test_preload_no_epoch_scan_matches_scan(tmp_path):
+    """epoch_scan=False (per-batch jitted gather from the device stack —
+    the worker-crash/host-leak fallback) must reproduce both the compiled
+    epoch scan and the streamed path."""
+    ds = generators.generate("QP", num_var=12, num_ineq=6, num_eq=6,
+                             data_size=44, seed=3)
+    r_scan = harness.train(_cfg(tmp_path / "a", preload="always"), ds,
+                           verbose=False)
+    r_nb = harness.train(_cfg(tmp_path / "b", preload="always",
+                              epoch_scan=False), ds, verbose=False)
+    assert len(r_nb.history) == len(r_scan.history) == 2
+    _history_close(r_nb.history, r_scan.history, rtol=1e-4)
