@@ -94,8 +94,10 @@ def _bsr_matvec_kernel(cols_ref, vals_ref, v_ref, out_ref, acc,
         col = cols_ref[0, r, k]
         seg = v_ref[0, 0, pl.ds(col * TN, TN)].reshape(1, TN)
         tile = vals_ref[0, 0, k]
+        # bf16 tiles: bf16 x bf16 MXU dot with f32 accumulate (same
+        # contract as the dense bf16 fast profile, solvers/step.bmv)
         acc[...] += jax.lax.dot_general(
-            seg, tile, (((1,), (1,)), ((), ())),
+            seg.astype(tile.dtype), tile, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         return 0
 

@@ -110,9 +110,10 @@ def main():
             lambda x: renorm(bmv(Md, x, mode="bf16")), v0,
             args.iters, args.reps, "dense bf16")
 
-        for tile in ((8, 128), (128, 128)):
-            bsr = sm.bsr_from_dense(M, tile=tile)
-            key = f"bsr{tile[0]}x{tile[1]}"
+        for tile, dt in (((8, 128), jnp.float32), ((8, 128), jnp.bfloat16),
+                         ((128, 128), jnp.bfloat16)):
+            bsr = sm.bsr_from_dense(M, tile=tile, dtype=dt)
+            key = f"bsr{tile[0]}x{tile[1]}_{jnp.dtype(dt).name}"
             row[key + "_occupancy"] = float(bsr.occupancy)
             row[key + "_s"] = time_iterated(
                 lambda x, b=bsr: renorm(
