@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--batch", type=int, default=2,
                     help="instance batch; 2 = the reference's latency-bound "
                          "protocol (main.py:55), 8/16 = throughput mode")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint each step in the backward (needed "
+                         "at B=16: full activation storage is 17 GB > HBM)")
     args = ap.parse_args()
 
     B, n, mi, me, h = args.batch, 1000, 500, 500, 800
@@ -70,7 +73,8 @@ def main():
                        length=K)
     optimizer = make_optimizer(5e-5, 0.0)
     opt_state = optimizer.init(params)
-    out = {"shape": dict(B=B, n=n, mi=mi, me=me, h=h, chunk=K)}
+    out = {"shape": dict(B=B, n=n, mi=mi, me=me, h=h, chunk=K,
+                         remat=args.remat)}
 
     # Model FLOPs per training iteration (fwd + standard 2x for bwd):
     # gate GEMMs over B*(n+m) tokens (in 2->4h, recurrent h->4h, head h->1)
@@ -89,7 +93,8 @@ def main():
     if not args.skip_step:
         step_fn, impl = best_lstm_step()
         log(f"step impl: {impl}")
-        chunk_step = make_train_chunk(step_fn, optimizer, K, K, 6e-6)
+        chunk_step = make_train_chunk(step_fn, optimizer, K, K, 6e-6,
+                                      remat=args.remat)
         st = init_state(B, n, mi + me, h, dtype=jnp.float32)
         best, l0 = time_chunk(chunk_step, dict(params), optimizer.init(params),
                               st, data, args.reps, f"step[{impl}]")
