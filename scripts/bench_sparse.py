@@ -137,12 +137,14 @@ def main():
         log(f"  -> dense {row['dense_bf16_s']*1e6:.0f} us, best sparse "
             f"{best_sparse*1e6:.0f} us ({row['sparse_speedup_vs_dense']:.2f}x)")
         rows.append(row)
+        # Incremental write: the axon worker can crash mid-sweep (it did at
+        # density 0.45 in round 3) — keep the densities already measured.
+        out = {"n": args.n, "batch": args.batch, "iters": args.iters,
+               "backend": jax.default_backend(), "rows": rows}
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/sparse_bench.json", "w") as f:
+            json.dump(out, f, indent=1)
 
-    out = {"n": args.n, "batch": args.batch, "iters": args.iters,
-           "backend": jax.default_backend(), "rows": rows}
-    os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/sparse_bench.json", "w") as f:
-        json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 
