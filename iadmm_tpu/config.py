@@ -50,6 +50,10 @@ class ExperimentConfig:
     clip_grad_norm: float = 0.0     # >0 = optax global-norm clip (TPU-native
                                     # safety knob; reference has none — see
                                     # harness.make_optimizer)
+    spike_rollback_factor: float = 25.0  # restore the gated checkpoint when
+                                    # the epoch loss exceeds this x the
+                                    # recent median (bf16 TBPTT spike guard,
+                                    # harness.train; 0 = off)
     num_epoch: int = 1000
     eq_tol: float = 0.2
     ineq_tol: float = 0.2

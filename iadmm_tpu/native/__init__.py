@@ -80,7 +80,11 @@ def solve_qp_batch(P: np.ndarray, q: np.ndarray, A: np.ndarray,
 
     ``P`` is the full (doubled) Hessian.  ``P/q/A`` may be a single shared
     instance (ndim 2/1/2) with per-instance ``zl/zu`` — the QP_RHS layout.
-    Returns (x (N,n), y (N,m), iters (N,), status (N,)); status 0 = solved.
+    Returns (x (N,n), y (N,m), iters (N,), status (N,)); status 0 = solved,
+    1 = max_iter, 2 = factorisation failure, 3 = primal infeasible,
+    4 = dual infeasible (unbounded) — 3/4 are OSQP-style certificate exits,
+    matching the reference oracle's skip-on-unsolved protocol
+    (reference: generate_data.py:93-94, 227-228).
     """
     lib = load_library()
     if lib is None:

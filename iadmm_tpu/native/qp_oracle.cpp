@@ -100,6 +100,7 @@ double inf_norm(const double* v, int k) {
 
 struct Work {
   std::vector<double> M, rho, x, y, z, xt, zt, rhs, Ax, Px, ATy, tmp_m;
+  std::vector<double> px, py, dx, dy;  // infeasibility-certificate deltas
 };
 
 int solve_one(const double* P, const double* q, const double* A,
@@ -119,6 +120,10 @@ int solve_one(const double* P, const double* q, const double* A,
   w.Px.assign(n, 0.0);
   w.ATy.assign(n, 0.0);
   w.tmp_m.assign(m, 0.0);
+  w.px.assign(n, 0.0);
+  w.py.assign(m, 0.0);
+  w.dx.assign(n, 0.0);
+  w.dy.assign(m, 0.0);
 
   double rho_bar = rho0;
   auto set_rho = [&](double rb) {
@@ -205,6 +210,76 @@ int solve_one(const double* P, const double* q, const double* A,
         std::memcpy(y_out, w.y.data(), sizeof(double) * m);
         return 0;
       }
+      // Infeasibility certificates (OSQP §3.4, eps_pinf = eps_dinf =
+      // eps_abs per the reference's labeling settings,
+      // generate_data.py:79-83).  Deltas are accumulated over the
+      // CHECK_EVERY window; every criterion is homogeneous in the delta so
+      // the window length cancels.  Without these, structurally unbounded
+      // instances (e.g. the SVM family's lambda<0 draws,
+      // generate_data.py:189) burn max_iter instead of exiting early.
+      for (int i = 0; i < n; ++i) w.dx[i] = w.x[i] - w.px[i];
+      for (int k = 0; k < m; ++k) w.dy[k] = w.y[k] - w.py[k];
+      const double ndx = inf_norm(w.dx.data(), n);
+      const double ndy = inf_norm(w.dy.data(), m);
+      if (ndy > 0.0) {  // primal infeasibility: A^T dy ~ 0, support < 0
+        const double t = eps_abs * ndy;
+        std::fill(w.ATy.begin(), w.ATy.end(), 0.0);
+        for (int k = 0; k < m; ++k) {
+          const double c = w.dy[k];
+          if (c == 0.0) continue;
+          const double* ak = &A[(size_t)k * n];
+          for (int i = 0; i < n; ++i) w.ATy[i] += c * ak[i];
+        }
+        if (inf_norm(w.ATy.data(), n) <= t) {
+          double support = 0.0;
+          for (int k = 0; k < m; ++k) {
+            const double a = std::max(w.dy[k], 0.0);
+            const double b = std::min(w.dy[k], 0.0);
+            if (a > 0.0) support += zu[k] * a;  // +inf bound -> +inf: fails
+            if (b < 0.0) support += zl[k] * b;
+          }
+          if (support <= -t) {
+            *iters_out = it;
+            std::memcpy(x_out, w.x.data(), sizeof(double) * n);
+            std::memcpy(y_out, w.y.data(), sizeof(double) * m);
+            return 3;  // primal infeasible
+          }
+        }
+      }
+      if (ndx > 0.0) {  // dual infeasibility: P dx ~ 0, q^T dx < 0,
+                        // A dx in the recession cone of [zl, zu]
+        const double t = eps_abs * ndx;
+        double qdx = 0.0;
+        for (int i = 0; i < n; ++i) qdx += q[i] * w.dx[i];
+        if (qdx <= -t) {
+          double nPdx = 0.0;
+          for (int i = 0; i < n; ++i) {
+            const double* Pi = &P[(size_t)i * n];
+            double s = 0.0;
+            for (int j = 0; j < n; ++j) s += Pi[j] * w.dx[j];
+            nPdx = std::max(nPdx, std::fabs(s));
+          }
+          if (nPdx <= t) {
+            bool cone_ok = true;
+            for (int k = 0; k < m && cone_ok; ++k) {
+              const double* ak = &A[(size_t)k * n];
+              double v = 0.0;
+              for (int i = 0; i < n; ++i) v += ak[i] * w.dx[i];
+              if ((std::isfinite(zu[k]) && v > t) ||
+                  (std::isfinite(zl[k]) && v < -t))
+                cone_ok = false;
+            }
+            if (cone_ok) {
+              *iters_out = it;
+              std::memcpy(x_out, w.x.data(), sizeof(double) * n);
+              std::memcpy(y_out, w.y.data(), sizeof(double) * m);
+              return 4;  // dual infeasible (objective unbounded below)
+            }
+          }
+        }
+      }
+      std::memcpy(w.px.data(), w.x.data(), sizeof(double) * n);
+      std::memcpy(w.py.data(), w.y.data(), sizeof(double) * m);
       // adaptive rho (OSQP rule)
       if (m > 0 && pri > 0.0 && dua > 0.0) {
         const double num = pri / std::max(std::max(nAx, nz), 1e-12);
@@ -236,7 +311,8 @@ extern "C" {
 // reused for all N (the QP_RHS family shares everything but zl/zu,
 // reference: generate_data.py:31-61).  Returns the number of solved
 // instances; per-instance status in status_out (0 solved, 1 max_iter,
-// 2 factorisation failure).
+// 2 factorisation failure, 3 primal infeasible, 4 dual infeasible /
+// unbounded).
 int iadmm_solve_qp_batch(const double* P, const double* q, const double* A,
                          const double* zl, const double* zu, int n, int m,
                          int N, int shared_data, double eps_abs,
@@ -266,6 +342,6 @@ int iadmm_solve_qp_batch(const double* P, const double* q, const double* A,
   return solved;
 }
 
-int iadmm_native_version() { return 1; }
+int iadmm_native_version() { return 2; }
 
 }  // extern "C"

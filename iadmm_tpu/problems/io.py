@@ -71,7 +71,12 @@ def save_npz(ds: RawDataset, path: str, compress: bool = False) -> None:
                                                 np.int64)
             payload[f"{k}_sp_shape"] = np.asarray(M.shape, np.int64)
             del payload[k]
-    (np.savez_compressed if compress else np.savez)(path, **payload)
+    # Atomic publish: write to a temp name in the same directory and rename,
+    # so a watcher (scripts/chip_queue) never sees a partial dataset and a
+    # killed generator never leaves a corrupt .npz at the final path.
+    tmp = path + ".tmp.npz"
+    (np.savez_compressed if compress else np.savez)(tmp, **payload)
+    os.replace(tmp, path)
 
 
 def load_npz(path: str) -> RawDataset:

@@ -76,9 +76,12 @@ def make_optimizer(lr: float, weight_decay: float = 0.0,
     return optax.chain(*tx) if len(tx) > 1 else tx[0]
 
 
-def make_train_chunk(step_fn, optimizer, outer_T: int, chunk_len: int,
-                     sigma: float, remat: bool = False, loss_fn=None):
-    """Build the jitted TBPTT chunk update.
+def make_chunk_body(step_fn, optimizer, outer_T: int, chunk_len: int,
+                    sigma: float, remat: bool = False, loss_fn=None):
+    """The ONE TBPTT chunk update shared by both jitted training routes
+    (per-chunk dispatch and the whole-epoch scan): grad of the chunk loss,
+    one optimizer step — the reference's per-chunk ``backward(); step()``
+    (reference: main.py:349-351).
 
     ``loss_fn(params, state, data, t0) -> (loss, state')`` overrides the
     scan-of-steps chunk loss (used to swap in the fused training megakernel,
@@ -88,15 +91,22 @@ def make_train_chunk(step_fn, optimizer, outer_T: int, chunk_len: int,
             return chunk_loss(step_fn, p, state, data, sigma,
                               chunk_len, outer_T, t0, remat=remat)
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_chunk(params, opt_state, state: IterState, data, t0):
+    def chunk_body(params, opt_state, state: IterState, data, t0):
         (loss, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, state, data, t0)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_state, loss
 
-    return train_chunk
+    return chunk_body
+
+
+def make_train_chunk(step_fn, optimizer, outer_T: int, chunk_len: int,
+                     sigma: float, remat: bool = False, loss_fn=None):
+    """Jitted per-chunk TBPTT update (the streaming / per-batch route)."""
+    body = make_chunk_body(step_fn, optimizer, outer_T, chunk_len, sigma,
+                           remat=remat, loss_fn=loss_fn)
+    return partial(jax.jit, donate_argnums=(0, 1, 2))(body)
 
 
 def _index_batch(a: jax.Array, bi, batch_size: int) -> jax.Array:
@@ -126,10 +136,8 @@ def make_train_epoch(step_fn, optimizer, outer_T: int, chunk_len: int,
     compile).  Optimizer updates stay *per chunk*, matching the reference's
     in-rollout stepping (main.py:336-358)."""
     n_chunks = outer_T // chunk_len
-    if loss_fn is None:
-        def loss_fn(p, st, data, t0):
-            return chunk_loss(step_fn, p, st, data, sigma,
-                              chunk_len, outer_T, t0, remat=remat)
+    body = make_chunk_body(step_fn, optimizer, outer_T, chunk_len, sigma,
+                           remat=remat, loss_fn=loss_fn)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_epoch(params, opt_state, stacked: QPBatch):
@@ -142,12 +150,8 @@ def make_train_epoch(step_fn, optimizer, outer_T: int, chunk_len: int,
 
             def per_chunk(ch_carry, ci):
                 params, opt_state, st = ch_carry
-                t0 = ci * chunk_len
-                (loss, st), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params, st, data, t0)
-                updates, opt_state = optimizer.update(grads, opt_state,
-                                                      params)
-                params = optax.apply_updates(params, updates)
+                params, opt_state, st, loss = body(
+                    params, opt_state, st, data, ci * chunk_len)
                 return (params, opt_state, st), loss
 
             (params, opt_state, st), losses = jax.lax.scan(
@@ -376,6 +380,29 @@ def preload_train_stack(ds: RawDataset, ids: np.ndarray, n_batches: int,
     return stacked, cost_stack
 
 
+def _wait_for_backend(timeout_s: float = 1800.0, poll_s: float = 30.0,
+                      verbose: bool = True) -> None:
+    """Block until the accelerator accepts work again.
+
+    The tunnelled TPU worker can crash outright on the largest whole-epoch
+    programs (UNAVAILABLE on the next fetch) and restarts itself in ~5-15
+    minutes (CLAUDE.md round-3 facts); every dispatch in between raises.
+    Polls a trivial dispatch+fetch until it succeeds."""
+    t0 = time.time()
+    while True:
+        try:
+            float(jnp.zeros((), jnp.float32) + 1.0)
+            return
+        except Exception as e:
+            if time.time() - t0 > timeout_s:
+                raise RuntimeError(
+                    f"backend did not recover within {timeout_s:.0f}s") from e
+            if verbose:
+                print(f"backend unavailable ({type(e).__name__}); retrying "
+                      f"in {poll_s:.0f}s", flush=True)
+            time.sleep(poll_s)
+
+
 @dataclasses.dataclass
 class TrainResult:
     params: Dict
@@ -595,7 +622,10 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                                     loss_fn=fused_loss)
 
     index_stack = None
-    if stacked is not None and epoch_fn is None:
+    if stacked is not None:
+        # Defined whenever the stack exists (jit is lazy, so this costs
+        # nothing unless dispatched): it is also the fallback route when the
+        # whole-epoch scan crashes the worker mid-run.
         @jax.jit
         def index_stack(stacked, cost_stack, bi):
             data = jax.tree.map(
@@ -615,7 +645,9 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
         return obj.mean()
 
     t_begin = time.time()
-    for epoch in range(start_epoch, cfg.num_epoch):
+    epoch = start_epoch
+    first_dispatch = True
+    while epoch < cfg.num_epoch:
         if cfg.train_hours and (time.time() - t_begin) > cfg.train_hours * 3600:
             if verbose:
                 print(f"wall-clock budget ({cfg.train_hours}h) reached at "
@@ -626,12 +658,41 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
             "train epoch" if epoch_fn is not None else "train chunk",
             hint="Fallback knobs: use_pallas=false (XLA step), "
                  "train_backend='step', or wait out the contention.") \
-            if epoch == start_epoch else (lambda: None)
+            if first_dispatch else (lambda: None)
+        first_dispatch = False
         if epoch_fn is not None:
-            params, opt_state, losses, x_last = epoch_fn(params, opt_state,
-                                                         stacked)
-            loss = losses[-1]
-            train_obj_dev = last_batch_obj(x_last, stacked, cost_stack)
+            # Host snapshot before the dispatch: params/opt_state are donated
+            # into the epoch program, so if the TPU worker crashes mid-epoch
+            # (a recorded failure mode of 470-batch programs — CLAUDE.md)
+            # the live buffers are unrecoverable without it.
+            snap = (jax.tree.map(np.asarray, params),
+                    jax.tree.map(np.asarray, opt_state))
+            try:
+                params, opt_state, losses, x_last = epoch_fn(
+                    params, opt_state, stacked)
+                loss = float(losses[-1])  # completion barrier: crash surfaces
+                train_obj_dev = last_batch_obj(x_last, stacked, cost_stack)
+            except Exception as e:
+                cancel_watchdog()
+                msg = repr(e)
+                runlog.log("epoch_scan_crash", epoch=epoch, error=msg[:500])
+                print(f"whole-epoch scan failed at epoch {epoch}: "
+                      f"{msg[:200]}\n-> downgrading to per-batch dispatch "
+                      f"over the preloaded stack and retrying this epoch",
+                      flush=True)
+                epoch_fn = None
+                first_dispatch = True
+                _wait_for_backend(verbose=verbose)
+                params = jax.tree.map(jnp.asarray, snap[0])
+                opt_state = jax.tree.map(jnp.asarray, snap[1])
+                if mesh is not None:
+                    params = dist.replicate(params, mesh)
+                    opt_state = dist.replicate(opt_state, mesh)
+                # The preloaded stack died with the worker: rebuild it.
+                stacked, cost_stack = preload_train_stack(
+                    ds, train_ids[:n_used], n_batches, cfg.batch_size, cfg,
+                    scale_jit, mesh=mesh, diag_q=diag_q)
+                continue  # retry the SAME epoch on the per-batch route
         else:
             last = None
             for bi in range(n_batches):
@@ -692,12 +753,50 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
         t_val = time.time() - t_v
         vio_maxes = [float(v) for k, v in vios.items() if k.endswith("_max")]
 
+        # bf16 TBPTT loss-spike guard (on by default): a rare bad chunk can
+        # spike the loss ~100x and permanently derail Adam (observed: QP_RHS
+        # epoch 174, loss 335 -> 45068, artifacts/QP_RHS_full.json — the f32
+        # torch reference cannot hit this).  When the epoch loss exceeds
+        # ``spike_rollback_factor`` x the recent median and a gated
+        # checkpoint exists, restore its params + optimizer state and keep
+        # training instead of riding the divergence.
+        spiked = False
+        if (cfg.spike_rollback_factor and history
+                and best.get("params") is not None):
+            ref_loss = float(np.median([h["train_loss"]
+                                        for h in history[-5:]]))
+            if np.isfinite(ref_loss) and (
+                    not np.isfinite(loss)
+                    or loss > cfg.spike_rollback_factor * abs(ref_loss)):
+                spiked = True
+                runlog.log("spike_rollback", epoch=epoch, loss=loss,
+                           ref_loss=ref_loss)
+                print(f"Epoch {epoch}: loss spike {ref_loss:.2f} -> "
+                      f"{loss:.2f}; rolling back to the gated checkpoint",
+                      flush=True)
+                payload = ckpt.load_checkpoint(ckpt_path)
+                params = jax.tree.map(jnp.asarray, payload["params"])
+                opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(opt_state),
+                    [jnp.asarray(l) for l in
+                     jax.tree_util.tree_leaves(payload["opt_state"])])
+                if mesh is not None:
+                    if "model" in mesh.axis_names:
+                        params = dist.tp_shard_params(params, mesh)
+                        opt_state = dist.tp_shard_params(opt_state, mesh)
+                    else:
+                        params = dist.replicate(params, mesh)
+                        opt_state = dist.replicate(opt_state, mesh)
+
         best["epoch"] = epoch
-        early = stopper.step(val_obj, cfg.early_stop_mode, cfg.eq_tol,
-                             vio_maxes)
+        early = False
+        if not spiked:
+            early = stopper.step(val_obj, cfg.early_stop_mode, cfg.eq_tol,
+                                 vio_maxes)
         rec = dict(epoch=epoch, train_obj=train_obj, val_obj=val_obj,
                    train_loss=float(loss), train_time=t_train,
                    val_time=t_val,
+                   **({"rollback": True} if spiked else {}),
                    **{k: float(v) for k, v in vios.items()})
         history.append(rec)
         runlog.log("epoch", **rec)
@@ -709,6 +808,7 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                   f"Train_Time {t_train:.2f}s | Val_Time {t_val:.2f}s | "
                   f"{vio_str}")
         epochs_run = epoch + 1
+        epoch += 1
         if early:
             break
 

@@ -63,6 +63,41 @@ WORKLOADS = {
 }
 
 
+STATUS_JSON = "results/canonical/STATUS.json"
+STATUS_MD = "results/canonical/STATUS.md"
+_STATUS_COLS = ("phase", "attempted_at", "epochs", "gate_met",
+                "first_gate_epoch", "eval_done", "artifact", "error")
+
+
+def update_status(family: str, **fields):
+    """Canonical-run registry, committed to the repo: every attempt is
+    recorded the moment it starts, so a run that dies mid-compile (the
+    round-3 QP_RHS_1500 silent no-op) is self-reporting instead of leaving
+    only a config-only log on /tmp."""
+    os.makedirs(os.path.dirname(STATUS_JSON), exist_ok=True)
+    status = {}
+    if os.path.exists(STATUS_JSON):
+        with open(STATUS_JSON) as f:
+            status = json.load(f)
+    row = status.setdefault(family, {})
+    row.update(fields)
+    with open(STATUS_JSON, "w") as f:
+        json.dump(status, f, indent=1, sort_keys=True)
+    lines = ["# Canonical-workload run registry",
+             "",
+             "Maintained by `scripts/run_workload.py` (updated at attempt "
+             "start, after training, and after eval — see VERDICT r3 #7).",
+             "",
+             "| family | " + " | ".join(_STATUS_COLS) + " |",
+             "|---|" + "---|" * len(_STATUS_COLS)]
+    for fam in sorted(status):
+        r = status[fam]
+        lines.append("| " + fam + " | " + " | ".join(
+            str(r.get(c, "")) for c in _STATUS_COLS) + " |")
+    with open(STATUS_MD, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("family", choices=sorted(WORKLOADS))
@@ -87,10 +122,11 @@ def main():
                          "per-batch streaming, no whole-epoch scan — the "
                          "fallback when the preloaded epoch program is "
                          "unstable on a backend)")
-    ap.add_argument("--clip", type=float, default=0.0,
-                    help="global-norm gradient clip (0 = off, reference "
-                         "parity); long convergence runs use ~1.0 to "
-                         "survive rare bf16 TBPTT loss spikes")
+    ap.add_argument("--clip", type=float, default=1.0,
+                    help="global-norm gradient clip (default 1.0: canonical "
+                         "runs self-defend against rare bf16 TBPTT loss "
+                         "spikes — QP_RHS epoch 174 derailed without it; "
+                         "0 = off, exact reference-optimizer parity)")
     ap.add_argument("--train_backend", default=None,
                     choices=["step", "fused"],
                     help="override the training backend (default: step)")
@@ -112,6 +148,8 @@ def main():
     feas_rest = args.feas_rest or w.pop("feas_rest", False)
     print("backend:", jax.default_backend(), "| workload:", args.family,
           "| feas_rest:", feas_rest, flush=True)
+    update_status(args.family, phase="starting", error="",
+                  attempted_at=time.strftime("%Y-%m-%dT%H:%M:%S"))
 
     # Dataset: cached stacked .npz under ./datasets, generated + oracle-
     # labeled once (reference: generate_data.py, eps=1e-4 protocol).
@@ -161,6 +199,7 @@ def main():
             json.dump(summary, f, indent=1)
 
     if not args.skip_train:
+        update_status(args.family, phase="training")
         t0 = time.time()
         res = harness.train(cfg, ds, verbose=True)
         t_train = time.time() - t0
@@ -176,7 +215,12 @@ def main():
             checkpoint=res.checkpoint_path)
         params = res.params
         flush_summary()
+        update_status(args.family, phase="evaluating",
+                      epochs=res.epochs_run,
+                      gate_met=summary["gate_met"],
+                      first_gate_epoch=summary["first_gate_epoch"])
     else:
+        update_status(args.family, phase="evaluating")
         path_ck = ckpt.checkpoint_path(cfg.save_dir, cfg.model_name,
                                        cfg.run_name())
         params = ckpt.load_checkpoint(path_ck)["params"]
@@ -199,8 +243,24 @@ def main():
             time_per_instance=rep.stage2.parallel_time)
 
     flush_summary()
+    update_status(args.family, phase="done", eval_done=True,
+                  artifact=out_path)
     print("summary ->", out_path, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:
+        # Self-reporting failure: record the reason in the committed
+        # registry before propagating (VERDICT r3 weak #6).
+        try:
+            fam = next((a for a in sys.argv[1:] if not a.startswith("-")),
+                       "?")
+            if fam in WORKLOADS:
+                update_status(fam, phase="failed", error=repr(e)[:300])
+        except Exception:
+            pass
+        raise
