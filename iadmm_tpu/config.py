@@ -83,8 +83,13 @@ class ExperimentConfig:
                                     # hidden/gate axes over a 'model' mesh
                                     # axis (num_devices must divide by it;
                                     # XLA inserts the delta-matmul psum)
-    sparse: bool = False            # BCOO sparse problem data through the
-                                    # solver path (train + test)
+    sparse: bool = False            # sparse problem data through the solver
+                                    # path (train + test)
+    sparse_format: str = "bcoo"     # 'bcoo' = unstructured batched BCOO;
+                                    # 'bsr' = tile-sparse Pallas matvecs
+                                    # (banded/block structure — the layout
+                                    # that actually cuts TPU HBM traffic,
+                                    # kernels/sparse_matvec.py)
     use_pallas: bool = False        # fused Pallas LSTM-cell kernel
     gate_dtype: str = "float32"     # 'bfloat16' enables bf16 gate matmuls
     matvec_mode: str = "highest"    # KKT-feature matvecs: highest|default|bf16

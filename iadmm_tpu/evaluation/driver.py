@@ -143,7 +143,11 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
         else:
             data_scaled, sc = data_orig, None
         if sparse_mod is not None:
-            data_scaled = sparse_mod.from_dense(data_scaled)
+            data_scaled = sparse_mod.from_dense(
+                data_scaled, fmt=cfg.sparse_format,
+                dtype=(jnp.bfloat16 if cfg.matvec_mode == "bf16"
+                       else jnp.float32),
+                interpret=jax.default_backend() not in ("tpu",))
         return data_scaled, sc
 
     @jax.jit

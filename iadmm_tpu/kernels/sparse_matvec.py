@@ -148,6 +148,36 @@ def bsr_matvec(bsr: BSRMatrix, v: jax.Array,
     return out.reshape(B, R * TM)[:, :m]
 
 
+def _zero_ct(x):
+    """Zero cotangent with JAX's dtype rules (float0 for integer leaves)."""
+    if jnp.issubdtype(x.dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bsr_matvec_ad(M: BSRMatrix, MT: BSRMatrix, v: jax.Array,
+                  interpret: bool = False) -> jax.Array:
+    """Differentiable (in ``v``) BSR matvec: y = M @ v with the VJP
+    dv = Mᵀ @ ȳ computed by a second BSR kernel over the stored transpose
+    operand ``MT`` (Pallas kernels have no automatic JVP/VJP; the matrices
+    are problem data and get zero cotangents)."""
+    return bsr_matvec(M, v, interpret=interpret)
+
+
+def _bsr_ad_fwd(M, MT, v, interpret):
+    return bsr_matvec(M, v, interpret=interpret), (M, MT)
+
+
+def _bsr_ad_bwd(interpret, res, g):
+    M, MT = res
+    dv = bsr_matvec(MT, g, interpret=interpret)
+    return (jax.tree.map(_zero_ct, M), jax.tree.map(_zero_ct, MT), dv)
+
+
+bsr_matvec_ad.defvjp(_bsr_ad_fwd, _bsr_ad_bwd)
+
+
 def bsr_pair_from_dense(M: np.ndarray, tile: Tuple[int, int] = (128, 128),
                         dtype=jnp.float32) -> Tuple[BSRMatrix, BSRMatrix]:
     """(M, Mᵀ) in BSR form — the ADMM step needs both A0·x and A0ᵀ·y; the

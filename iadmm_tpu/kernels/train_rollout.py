@@ -233,6 +233,431 @@ def _fwd_seg_kernel(tb_ref, rho_ref, alpha_ref,
 
 
 # ---------------------------------------------------------------------------
+# Streamed-checkpoint variant (round 4, VERDICT #4)
+#
+# The recompute design above reruns the whole forward inside the backward
+# kernel to rebuild the per-step H/C from the segment-start checkpoint —
+# that recompute is ~4 of the ~20 MXU-units per trained iteration, and the
+# VMEM-resident (J+1, S, h) checkpoint stacks cap J at 2 (flagship), so a
+# K=100 chunk pays 50 kernel launches + state DMAs per direction.
+#
+# The streamed variant instead has the FORWARD kernel write every per-step
+# H (staged to bf16 — the exact operand the gate matmuls consume) and C
+# (f32, exact) to HBM, plus the tiny per-step iterate vectors.  The
+# backward skips the forward recompute entirely and streams the
+# checkpoints back through a 3-slot rolling VMEM buffer with async-copy
+# prefetch.  J is then bounded by HBM (not VMEM): one kernel per direction
+# per chunk at the flagship shape.  HBM cost: B*K*S*h*(2+4) bytes
+# (~8.8 GB at B=8, K=100 flagship — the auto picker falls back to the
+# recompute kernels when that does not fit).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_stream_kernel(tb_ref, rho_ref, alpha_ref,
+                       q_ref, a0_ref, p_ref, zl_ref, zu_ref, rhom_ref,
+                       x0_ref, y0_ref, z0_ref, xv0_ref, h0_ref, c0_ref,
+                       w_ref, u_ref, b_ref, wh_ref, bh_ref,
+                       x_out, y_out, z_out, xv_out, h_out, c_out,
+                       pr_out, dr_out,
+                       hs_out, cs_out, xs_out, ys_out, zs_out, xvs_out,
+                       H, C, xv, g_col, d_col, x_r, y_r, z_r,
+                       Hst, Cst, sem, sem_s,
+                       *, n: int, m: int, hidden: int, J: int, sigma: float,
+                       cdt=jnp.bfloat16):
+    S = n + m
+    b_idx = pl.program_id(0)
+    Q = q_ref[0]
+    A0 = a0_ref[0]
+    p = p_ref[0]
+    zl = zl_ref[0]
+    zu = zu_ref[0]
+    rhom = rhom_ref[0]
+    mv_q, mv_a0, mv_a0t = _mv_maker(Q, A0, cdt)
+
+    cp_h = pltpu.make_async_copy(h0_ref.at[b_idx], H, sem.at[0])
+    cp_c = pltpu.make_async_copy(c0_ref.at[b_idx], C, sem.at[1])
+    cp_h.start()
+    cp_c.start()
+    x_r[...] = x0_ref[0]
+    y_r[...] = y0_ref[0]
+    z_r[...] = z0_ref[0]
+    xv[...] = xv0_ref[0]
+    cp_h.wait()
+    cp_c.wait()
+
+    base = b_idx * (J + 1)  # flat (B*(J+1), S, hp) checkpoint layout
+
+    def stage_copies(k, s):
+        return (pltpu.make_async_copy(Hst.at[s], hs_out.at[base + k],
+                                      sem_s.at[s, 0]),
+                pltpu.make_async_copy(Cst.at[s], cs_out.at[base + k],
+                                      sem_s.at[s, 1]))
+
+    def stage_and_store(k):
+        """Write the PRE-step-k state to the HBM checkpoint stream (H cast
+        to the bf16 gate operand, C exact f32) via double-buffered staging
+        so the DMA overlaps the step compute."""
+        s = k % 2
+
+        @pl.when(k >= 2)
+        def _():
+            a, b_ = stage_copies(k - 2, s)
+            a.wait()
+            b_.wait()
+
+        Hst[s] = H[:].astype(cdt)
+        Cst[s] = C[:]
+        a, b_ = stage_copies(k, s)
+        a.start()
+        b_.start()
+
+    def step(k, _):
+        stage_and_store(k)
+        xs_out[0, pl.ds(k, 1)] = x_r[:]
+        ys_out[0, pl.ds(k, 1)] = y_r[:]
+        zs_out[0, pl.ds(k, 1)] = z_r[:]
+        xvs_out[0, pl.ds(k, 1)] = xv[:].reshape(1, S)
+
+        t = tb_ref[0, 0] + k
+        rho_t = _sig(rho_ref[0, t])
+        alpha_t = 2.0 * _sig(alpha_ref[0, t])
+        rho_row = rho_t * rhom
+
+        x = x_r[:]
+        y = y_r[:]
+        z = z_r[:]
+        u_row = xv[0:n, :].reshape(1, n)
+        nu_row = xv[n:S, :].reshape(1, m)
+
+        b1 = sigma * x - p
+        r1 = mv_q(u_row) + sigma * u_row + mv_a0t(nu_row) - b1
+        r2 = mv_a0(u_row) - (nu_row - y) / rho_row - z
+        g1 = mv_q(r1) + sigma * r1 + mv_a0t(r2)
+        g2 = mv_a0(r1) - r2 / rho_row
+        g_col[0:n, :] = g1.reshape(n, 1)
+        g_col[n:S, :] = g2.reshape(m, 1)
+
+        _cell_update_tiled(H, C, xv, g_col, d_col,
+                           w_ref, u_ref, b_ref, wh_ref, S, hidden, cdt)
+        xv[...] = xv[:] - (d_col[:] + bh_ref[:])
+
+        x_t = xv[0:n, :].reshape(1, n)
+        v = xv[n:S, :].reshape(1, m)
+        z_t = z + (v - y) / rho_row
+        x_new = alpha_t * x_t + (1.0 - alpha_t) * x
+        z_new = jnp.minimum(jnp.maximum(z_t + y / rho_row, zl), zu)
+        y_new = y + rho_row * (z_t - z_new)
+        x_r[...] = x_new
+        y_r[...] = y_new
+        z_r[...] = z_new
+
+        v1 = mv_a0(x_new) - z_new
+        v2 = mv_q(x_new) + p + mv_a0t(y_new)
+        pr_out[0, 0, k] = jnp.sqrt(jnp.sum(v1 * v1))
+        dr_out[0, 0, k] = jnp.sqrt(jnp.sum(v2 * v2))
+        return 0
+
+    jax.lax.fori_loop(0, J, step, 0, unroll=False)
+
+    # final (post-chunk) checkpoint at index J + drain the staging pipeline
+    sJ = J % 2
+    if J >= 2:
+        a, b_ = stage_copies(J - 2, sJ)
+        a.wait()
+        b_.wait()
+    Hst[sJ] = H[:].astype(cdt)
+    Cst[sJ] = C[:]
+    a, b_ = stage_copies(J, sJ)
+    a.start()
+    b_.start()
+    xs_out[0, J:J + 1] = x_r[:]
+    ys_out[0, J:J + 1] = y_r[:]
+    zs_out[0, J:J + 1] = z_r[:]
+    xvs_out[0, J:J + 1] = xv[:].reshape(1, S)
+    if J >= 1:
+        a, b_ = stage_copies(J - 1, (J - 1) % 2)
+        a.wait()
+        b_.wait()
+    a, b_ = stage_copies(J, sJ)
+    a.wait()
+    b_.wait()
+
+    x_out[0] = x_r[:]
+    y_out[0] = y_r[:]
+    z_out[0] = z_r[:]
+    xv_out[0] = xv[:]
+    co_h = pltpu.make_async_copy(H, h_out.at[b_idx], sem.at[0])
+    co_c = pltpu.make_async_copy(C, c_out.at[b_idx], sem.at[1])
+    co_h.start()
+    co_c.start()
+    co_h.wait()
+    co_c.wait()
+
+
+def _bwd_stream_kernel(tb_ref, rho_ref, alpha_ref,
+                       q_ref, a0_ref, p_ref, zl_ref, zu_ref, rhom_ref,
+                       w_ref, u_ref, b_ref, wh_ref, bh_ref,
+                       hs_ref, cs_ref, xs_ref, ys_ref, zs_ref, xvs_ref,
+                       dx_in, dy_in, dz_in, dxv_in, dh_in, dc_in,
+                       dpr_ref, ddr_ref,
+                       # outputs
+                       dx0, dy0, dz0, dxv0, dh0, dc0,
+                       dW, dU, db, dWh, dbh, drho, dalpha,
+                       # scratch
+                       sH, sC, H_buf, C_buf, dxv, xv_col, g_col, dg_col,
+                       dx_r, dy_r, dz_r, sem, semb,
+                       *, n: int, m: int, hidden: int, J: int, sigma: float,
+                       cdt=jnp.bfloat16):
+    """Reverse sweep over streamed checkpoints — the bstep numerics are
+    IDENTICAL to ``_bwd_seg_kernel`` (bf16-as-consumed H, exact f32 C); only
+    the source of the per-step states differs (HBM stream vs in-kernel
+    forward recompute)."""
+    S = n + m
+    Q = q_ref[0]
+    A0 = a0_ref[0]
+    p = p_ref[0]
+    zl = zl_ref[0]
+    zu = zu_ref[0]
+    rhom = rhom_ref[0]
+    mv_q, mv_a0, mv_a0t = _mv_maker(Q, A0, cdt)
+    h = hidden
+    R = _tile_rows(S)
+    b_idx = pl.program_id(0)
+    base = b_idx * (J + 1)
+
+    @pl.when(b_idx == 0)
+    def _():
+        dW[...] = jnp.zeros_like(dW)
+        dU[...] = jnp.zeros_like(dU)
+        db[...] = jnp.zeros_like(db)
+        dWh[...] = jnp.zeros_like(dWh)
+        dbh[...] = jnp.zeros_like(dbh)
+
+        def zero_sched(i, _):
+            drho[0, i] = 0.0
+            dalpha[0, i] = 0.0
+            return 0
+
+        jax.lax.fori_loop(0, J, zero_sched, 0, unroll=True)
+
+    def load_copies(k):
+        s = k % 3
+        return (pltpu.make_async_copy(hs_ref.at[base + k], H_buf.at[s],
+                                      semb.at[s, 0]),
+                pltpu.make_async_copy(cs_ref.at[base + k], C_buf.at[s],
+                                      semb.at[s, 1]))
+
+    # prime the rolling buffer with checkpoints J and J-1
+    aJ, bJ = load_copies(J)
+    aJ.start()
+    bJ.start()
+    if J >= 1:
+        a1, b1 = load_copies(J - 1)
+        a1.start()
+        b1.start()
+    aJ, bJ = load_copies(J)
+    aJ.wait()
+    bJ.wait()
+
+    cp_h = pltpu.make_async_copy(dh_in.at[b_idx], sH, sem.at[0])
+    cp_c = pltpu.make_async_copy(dc_in.at[b_idx], sC, sem.at[1])
+    cp_h.start()
+    cp_c.start()
+    dx_r[...] = dx_in[0]
+    dy_r[...] = dy_in[0]
+    dz_r[...] = dz_in[0]
+    dxv[...] = dxv_in[0]
+    cp_h.wait()
+    cp_c.wait()
+
+    def bstep(kk, _):
+        k = J - 1 - kk
+        # checkpoint k was started in step k+1 (or the prime); wait it,
+        # then prefetch k-1 into the third slot while this step computes.
+        a, b_ = load_copies(k)
+        a.wait()
+        b_.wait()
+
+        @pl.when(k >= 1)
+        def _():
+            a, b_ = load_copies(k - 1)
+            a.start()
+            b_.start()
+
+        t = tb_ref[0, 0] + k
+        rho_raw = rho_ref[0, t]
+        alpha_raw = alpha_ref[0, t]
+        rho_t = _sig(rho_raw)
+        alpha_t = 2.0 * _sig(alpha_raw)
+        rho_row = rho_t * rhom
+
+        x = xs_ref[0, pl.ds(k, 1)]
+        y = ys_ref[0, pl.ds(k, 1)]
+        z = zs_ref[0, pl.ds(k, 1)]
+        xv_row = xvs_ref[0, pl.ds(k, 1)]          # (1, S)
+        xv_new = xvs_ref[0, pl.ds(k + 1, 1)]      # (1, S)
+        x_new = xs_ref[0, pl.ds(k + 1, 1)]
+        y_new = ys_ref[0, pl.ds(k + 1, 1)]
+        z_new = zs_ref[0, pl.ds(k + 1, 1)]
+        xv_col[...] = xv_row.reshape(S, 1)        # column form for the tiles
+
+        u_row = xv_row[:, 0:n]
+        nu_row = xv_row[:, n:S]
+        x_t = xv_new[:, 0:n]
+        v = xv_new[:, n:S]
+        z_t = z + (v - y) / rho_row
+        w_clip = z_t + y / rho_row
+        mask = jnp.logical_and(w_clip >= zl, w_clip <= zu
+                               ).astype(jnp.float32)
+
+        b1 = sigma * x - p
+        r1 = mv_q(u_row) + sigma * u_row + mv_a0t(nu_row) - b1
+        r2 = mv_a0(u_row) - (nu_row - y) / rho_row - z
+
+        dpr_t = dpr_ref[0, 0, k]
+        ddr_t = ddr_ref[0, 0, k]
+        v1 = mv_a0(x_new) - z_new
+        v2 = mv_q(x_new) + p + mv_a0t(y_new)
+        pr_n = jnp.sqrt(jnp.sum(v1 * v1))
+        dr_n = jnp.sqrt(jnp.sum(v2 * v2))
+        dv1 = (dpr_t / jnp.maximum(pr_n, 1e-30)) * v1
+        dv2 = (ddr_t / jnp.maximum(dr_n, 1e-30)) * v2
+        dxn = dx_r[:] + mv_a0t(dv1) + mv_q(dv2)
+        dyn = dy_r[:] + mv_a0(dv2)
+        dzn = dz_r[:] - dv1
+
+        drho_vec = dyn * (z_t - z_new)
+        dz_t = rho_row * dyn
+        dznn = -rho_row * dyn + dzn
+        dw = dznn * mask
+        dz_t = dz_t + dw
+        dy = dyn + dw / rho_row
+        drho_vec = drho_vec - dw * y / (rho_row * rho_row)
+        dxt = alpha_t * dxn
+        dx = (1.0 - alpha_t) * dxn
+        dalpha_s = jnp.sum(dxn * (x_t - x))
+        dz = dz_t
+        dv_ = dz_t / rho_row
+        dy = dy - dz_t / rho_row
+        drho_vec = drho_vec - dz_t * (v - y) / (rho_row * rho_row)
+
+        dxv[...] = dxv[:] + jnp.concatenate(
+            [dxt.reshape(n, 1), dv_.reshape(m, 1)], axis=0)
+        dbh[...] += jnp.sum(-dxv[:], axis=0, keepdims=True)
+
+        g_q1 = mv_q(r1) + sigma * r1 + mv_a0t(r2)
+        g_q2 = mv_a0(r1) - r2 / rho_row
+        g_col[0:n, :] = g_q1.reshape(n, 1)
+        g_col[n:S, :] = g_q2.reshape(m, 1)
+
+        def tile(i, _):
+            rows = pl.ds(i * R, R)
+            ddel_t = -dxv[rows]
+            xv_t = xv_col[rows]
+            g_t = g_col[rows]
+            H_k_t = H_buf[k % 3, rows]             # bf16 (R, h)
+            C_k_t = C_buf[k % 3, rows]
+            C_new_t = C_buf[(k + 1) % 3, rows]
+            tC = _tanh(C_new_t)
+
+            dH_new = sH[rows] + jax.lax.dot_general(
+                ddel_t.astype(cdt), wh_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dWh[...] += jax.lax.dot_general(
+                H_buf[(k + 1) % 3, rows], ddel_t.astype(cdt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            def pre(q):
+                return (xv_t * w_ref[0:1, pl.ds(q * h, h)]
+                        + g_t * w_ref[1:2, pl.ds(q * h, h)]
+                        + jax.lax.dot_general(
+                            H_k_t, u_ref[:, pl.ds(q * h, h)],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        + b_ref[:, pl.ds(q * h, h)])
+
+            dxv_q = jnp.zeros_like(ddel_t)
+            dg_q = jnp.zeros_like(ddel_t)
+            dH_acc = jnp.zeros_like(dH_new)
+
+            def contract(q, dpre):
+                nonlocal dxv_q, dg_q, dH_acc
+                dpre_b = dpre.astype(cdt)
+                dU[:, pl.ds(q * h, h)] += jax.lax.dot_general(
+                    H_k_t, dpre_b, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                db[:, pl.ds(q * h, h)] += jnp.sum(dpre, axis=0,
+                                                  keepdims=True)
+                dW[0:1, pl.ds(q * h, h)] += jnp.sum(xv_t * dpre, axis=0,
+                                                    keepdims=True)
+                dW[1:2, pl.ds(q * h, h)] += jnp.sum(g_t * dpre, axis=0,
+                                                    keepdims=True)
+                dH_acc = dH_acc + jax.lax.dot_general(
+                    dpre_b, u_ref[:, pl.ds(q * h, h)],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dxv_q = dxv_q + jnp.sum(dpre * w_ref[0:1, pl.ds(q * h, h)],
+                                        axis=1, keepdims=True)
+                dg_q = dg_q + jnp.sum(dpre * w_ref[1:2, pl.ds(q * h, h)],
+                                      axis=1, keepdims=True)
+
+            o_t = _sig(pre(2))
+            do = dH_new * tC
+            dC_new = sC[rows] + dH_new * o_t * (1.0 - tC * tC)
+            contract(2, do * o_t * (1.0 - o_t))
+            i_t = _sig(pre(0))
+            u_t = _tanh(pre(3))
+            contract(0, (dC_new * u_t) * i_t * (1.0 - i_t))
+            contract(3, (dC_new * i_t) * (1.0 - u_t * u_t))
+            f_t = _sig(pre(1))
+            contract(1, (dC_new * C_k_t) * f_t * (1.0 - f_t))
+            sC[rows] = dC_new * f_t
+            sH[rows] = dH_acc
+            dxv[rows] += dxv_q
+            dg_col[rows] = dg_q
+            return 0
+
+        jax.lax.fori_loop(0, S // R, tile, 0, unroll=False)
+
+        dg1 = dg_col[0:n, :].reshape(1, n)
+        dg2 = dg_col[n:S, :].reshape(1, m)
+        drho_vec = drho_vec + dg2 * r2 / (rho_row * rho_row)
+        dr1 = mv_q(dg1) + sigma * dg1 + mv_a0t(dg2)
+        dr2 = mv_a0(dg1) - dg2 / rho_row
+        du_ = mv_q(dr1) + sigma * dr1 + mv_a0t(dr2)
+        dnu = mv_a0(dr1) - dr2 / rho_row
+        dx = dx - sigma * dr1
+        dy = dy + dr2 / rho_row
+        dz = dz - dr2
+        drho_vec = drho_vec + dr2 * (nu_row - y) / (rho_row * rho_row)
+
+        dxv[0:n, :] += du_.reshape(n, 1)
+        dxv[n:S, :] += dnu.reshape(m, 1)
+        dx_r[...] = dx
+        dy_r[...] = dy
+        dz_r[...] = dz
+
+        drho_t = jnp.sum(drho_vec * rhom) * rho_t * (1.0 - rho_t)
+        dalpha_t = dalpha_s * 2.0 * _sig(alpha_raw) * (1.0 - _sig(alpha_raw))
+        drho[0, k] += drho_t
+        dalpha[0, k] += dalpha_t
+        return 0
+
+    jax.lax.fori_loop(0, J, bstep, 0, unroll=False)
+    dx0[0] = dx_r[:]
+    dy0[0] = dy_r[:]
+    dz0[0] = dz_r[:]
+    dxv0[0] = dxv[:]
+    co_h = pltpu.make_async_copy(sH, dh0.at[b_idx], sem.at[0])
+    co_c = pltpu.make_async_copy(sC, dc0.at[b_idx], sem.at[1])
+    co_h.start()
+    co_c.start()
+    co_h.wait()
+    co_c.wait()
+
+
+# ---------------------------------------------------------------------------
 # Backward segment kernel
 # ---------------------------------------------------------------------------
 
@@ -763,16 +1188,145 @@ def _make_bwd_call(B, n, m, hidden, J, K_total, sigma, interpret,
     )
 
 
+def _seq_specs(B, n, m, S, J):
+    """Per-step iterate-vector streams: VMEM-windowed per instance.  Stored
+    as (B, J+1, len) ROW layouts — a trailing singleton dim would be padded
+    to 128 lanes by Mosaic (a 212 MB window at flagship, AOT-verified)."""
+    def seq(d2):
+        return pl.BlockSpec((1, J + 1, d2), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return [seq(n), seq(m), seq(m), seq(S)]
+
+
+def _seq_shapes(B, n, m, S, J):
+    f32 = jnp.float32
+    return [jax.ShapeDtypeStruct((B, J + 1, n), f32),
+            jax.ShapeDtypeStruct((B, J + 1, m), f32),
+            jax.ShapeDtypeStruct((B, J + 1, m), f32),
+            jax.ShapeDtypeStruct((B, J + 1, S), f32)]
+
+
+def _make_fwd_stream_call(B, n, m, hidden, J, K_total, sigma, interpret,
+                          cdt=jnp.bfloat16):
+    S = n + m
+    sched, dat, state, weights, inst3, shared, smem, smem_i = _specs(
+        B, n, m, hidden, J, K_total)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+    kernel = functools.partial(_fwd_stream_kernel, n=n, m=m, hidden=hidden,
+                               J=J, sigma=float(sigma), cdt=cdt)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=sched + dat + state + weights,
+        out_specs=[*state, smem_i(1, J), smem_i(1, J),
+                   any_, any_, *_seq_specs(B, n, m, S, J)],
+        out_shape=[*_state_shapes(B, n, m, hidden),
+                   jax.ShapeDtypeStruct((B, 1, J), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, J), jnp.float32),
+                   jax.ShapeDtypeStruct((B * (J + 1), S, hidden), cdt),
+                   jax.ShapeDtypeStruct((B * (J + 1), S, hidden),
+                                        jnp.float32),
+                   *_seq_shapes(B, n, m, S, J)],
+        scratch_shapes=[
+            pltpu.VMEM((S, hidden), jnp.float32),   # H
+            pltpu.VMEM((S, hidden), jnp.float32),   # C
+            pltpu.VMEM((S, 1), jnp.float32),        # xv
+            pltpu.VMEM((S, 1), jnp.float32),        # g
+            pltpu.VMEM((S, 1), jnp.float32),        # delta
+            pltpu.VMEM((1, n), jnp.float32),        # x
+            pltpu.VMEM((1, m), jnp.float32),        # y
+            pltpu.VMEM((1, m), jnp.float32),        # z
+            pltpu.VMEM((2, S, hidden), cdt),        # Hst staging
+            pltpu.VMEM((2, S, hidden), jnp.float32),  # Cst staging
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * J * (S * (hidden + 2) * 4 * hidden
+                               + 7 * (n * n + 2 * m * n)),
+            bytes_accessed=2 * B * (n * n + m * n)
+            + B * J * S * hidden * 6,
+            transcendentals=5 * B * J * S * hidden),
+        interpret=interpret,
+    )
+
+
+def _make_bwd_stream_call(B, n, m, hidden, J, K_total, sigma, interpret,
+                          cdt=jnp.bfloat16):
+    S = n + m
+    sched, dat, state, weights, inst3, shared, smem, smem_i = _specs(
+        B, n, m, hidden, J, K_total)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+    kernel = functools.partial(_bwd_stream_kernel, n=n, m=m, hidden=hidden,
+                               J=J, sigma=float(sigma), cdt=cdt)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=(sched + dat + weights
+                  + [any_, any_, *_seq_specs(B, n, m, S, J)]
+                  + state                      # d(state_out) cotangents
+                  + [smem_i(1, J), smem_i(1, J)]),
+        out_specs=[*state,
+                   shared(2, 4 * hidden), shared(hidden, 4 * hidden),
+                   shared(1, 4 * hidden), shared(hidden, 1), shared(1, 1),
+                   smem(1, J), smem(1, J)],
+        out_shape=[*_state_shapes(B, n, m, hidden),
+                   jax.ShapeDtypeStruct((2, 4 * hidden), f32),
+                   jax.ShapeDtypeStruct((hidden, 4 * hidden), f32),
+                   jax.ShapeDtypeStruct((1, 4 * hidden), f32),
+                   jax.ShapeDtypeStruct((hidden, 1), f32),
+                   jax.ShapeDtypeStruct((1, 1), f32),
+                   jax.ShapeDtypeStruct((1, J), f32),
+                   jax.ShapeDtypeStruct((1, J), f32)],
+        scratch_shapes=[
+            pltpu.VMEM((S, hidden), jnp.float32),          # sH -> dH carry
+            pltpu.VMEM((S, hidden), jnp.float32),          # sC -> dC carry
+            pltpu.VMEM((3, S, hidden), cdt),               # H rolling buffer
+            pltpu.VMEM((3, S, hidden), jnp.float32),       # C rolling buffer
+            pltpu.VMEM((S, 1), jnp.float32),               # dxv
+            pltpu.VMEM((S, 1), jnp.float32),               # xv_col staging
+            pltpu.VMEM((S, 1), jnp.float32),               # g_col
+            pltpu.VMEM((S, 1), jnp.float32),               # dg / delta
+            pltpu.VMEM((1, n), jnp.float32),               # dx
+            pltpu.VMEM((1, m), jnp.float32),               # dy
+            pltpu.VMEM((1, m), jnp.float32),               # dz
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * J * (S * (hidden + 2) * 4 * hidden
+                               + 7 * (n * n + 2 * m * n)),
+            bytes_accessed=2 * B * (n * n + m * n)
+            + B * J * S * hidden * 6,
+            transcendentals=8 * B * J * S * hidden),
+        interpret=interpret,
+    )
+
+
 def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
                           hidden: int, sigma: float, chunk_len: int,
                           outer_T: int, K_total: int,
                           interpret: bool = False, seg: int = 0,
-                          compute_dtype: str = "bfloat16", mesh=None):
+                          compute_dtype: str = "bfloat16", mesh=None,
+                          stream=None):
     """Build a drop-in for ``rollouts.chunk_loss`` backed by the fused
     training megakernel: ``fn(params, state, data, t0) -> (loss, state')``.
 
     Loss numerics follow ``chunk_loss`` with ``loss_mode='bf16'`` (the
     resident matrices are bf16).  Differentiates w.r.t. params only.
+
+    ``stream``: use the streamed-checkpoint kernel pair (forward writes the
+    per-step H/C to HBM; backward skips the forward recompute — see the
+    module banner above ``_fwd_stream_kernel``).  ``None`` = auto: stream
+    when the whole-chunk checkpoint stack fits the HBM budget
+    (``IADMM_STREAM_HBM`` env, default 10 GB) and no explicit ``seg`` was
+    requested.  Numerics are identical either way (bf16-as-consumed H,
+    exact f32 C).
 
     ``mesh``: a ``('data',)`` mesh makes the returned fn data-parallel via
     ``shard_map`` — each device runs the kernel on its shard of the
@@ -780,19 +1334,32 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
     is ``pmean``-ed over 'data', and shard_map's transpose inserts the
     gradient all-reduce over ICI (SURVEY.md §2.4 DP row).
     """
+    import os
     import numpy as np
 
     n = _round_up(num_var, 128)
     m = _round_up(num_constr, 128)
     hp = _round_up(hidden, 128)
-    J = seg or pick_segment_len(n, m, hidden, chunk_len)
-    n_segs = chunk_len // J
     B = batch
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    fwd_call = _make_fwd_call(B, n, m, hp, J, K_total, sigma, interpret,
-                              cdt)
-    bwd_call = _make_bwd_call(B, n, m, hp, J, K_total, sigma, interpret,
-                              cdt)
+    ckpt_bytes = B * (chunk_len + 1) * (n + m) * hp * 6
+    if stream is None:
+        budget = float(os.environ.get("IADMM_STREAM_HBM", 10e9))
+        stream = seg == 0 and ckpt_bytes <= budget
+    if stream:
+        J = chunk_len
+        n_segs = 1
+        fwd_call = _make_fwd_stream_call(B, n, m, hp, J, K_total, sigma,
+                                         interpret, cdt)
+        bwd_call = _make_bwd_stream_call(B, n, m, hp, J, K_total, sigma,
+                                         interpret, cdt)
+    else:
+        J = seg or pick_segment_len(n, m, hidden, chunk_len)
+        n_segs = chunk_len // J
+        fwd_call = _make_fwd_call(B, n, m, hp, J, K_total, sigma, interpret,
+                                  cdt)
+        bwd_call = _make_bwd_call(B, n, m, hp, J, K_total, sigma, interpret,
+                                  cdt)
 
     def _padded_weights(params):
         W = _pad_q(params["W"], hidden, hp).astype(cdt)
@@ -807,6 +1374,15 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
         W, U, b2, Wh, bh2 = _padded_weights(params)
         rho = params["rho"].reshape(1, -1).astype(jnp.float32)
         alpha = params["alpha"].reshape(1, -1).astype(jnp.float32)
+
+        if stream:
+            tb = t0.reshape(1, 1).astype(jnp.int32)
+            out = fwd_call(tb, rho, alpha, *data_t, *state_t,
+                           W, U, b2, Wh, bh2)
+            final = tuple(out[:6])
+            pr, dr = out[6][:, 0, :], out[7][:, 0, :]
+            seqs = tuple(out[8:14])   # hs, cs, xs, ys, zs, xvs
+            return pr, dr, final, seqs
 
         def seg_step(carry, s):
             tb = (t0 + s * J).reshape(1, 1).astype(jnp.int32)
@@ -837,6 +1413,20 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
         W, U, b2, Wh, bh2 = _padded_weights(params)
         rho = params["rho"].reshape(1, -1).astype(jnp.float32)
         alpha = params["alpha"].reshape(1, -1).astype(jnp.float32)
+
+        if stream:
+            tb = t0.reshape(1, 1).astype(jnp.int32)
+            out = bwd_call(tb, rho, alpha, *data_t, W, U, b2, Wh, bh2,
+                           *ckpts, *dfinal,
+                           dpr.reshape(B, 1, J).astype(jnp.float32),
+                           ddr.reshape(B, 1, J).astype(jnp.float32))
+            dstate0 = tuple(out[:6])
+            dW, dU_, db_, dWh, dbh = out[6:11]
+            drho_chunk = out[11].reshape(chunk_len)
+            dalpha_chunk = out[12].reshape(chunk_len)
+            return _package_grads(params, state_t, data_t, t0, dW, dU_,
+                                  db_, dWh, dbh, drho_chunk, dalpha_chunk)
+
         g0 = (jnp.zeros((2, 4 * hp)), jnp.zeros((hp, 4 * hp)),
               jnp.zeros((1, 4 * hp)), jnp.zeros((hp, 1)), jnp.zeros((1, 1)))
         dpr_seg = jnp.moveaxis(dpr.reshape(B, n_segs, 1, J), 1, 0)
@@ -858,12 +1448,17 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
             seg_bwd, (dfinal, g0),
             (ckpts, dpr_seg, ddr_seg, jnp.arange(n_segs)), reverse=True)
         dW, dU_, db_, dWh, dbh = acc
+        drho_chunk = drho_segs[:, 0, :].reshape(chunk_len)
+        dalpha_chunk = dalpha_segs[:, 0, :].reshape(chunk_len)
+        return _package_grads(params, state_t, data_t, t0, dW, dU_, db_,
+                              dWh, dbh, drho_chunk, dalpha_chunk)
+
+    def _package_grads(params, state_t, data_t, t0, dW, dU_, db_, dWh, dbh,
+                       drho_chunk, dalpha_chunk):
         dW = _unpad_q(dW, hidden, hp)
         dU_ = _unpad_q(dU_, hidden, hp)[:hidden]
         db_ = _unpad_q(db_, hidden, hp)
         dWh = dWh[:hidden]
-        drho_chunk = drho_segs[:, 0, :].reshape(chunk_len)
-        dalpha_chunk = dalpha_segs[:, 0, :].reshape(chunk_len)
         zK = jnp.zeros((K_total,), jnp.float32)
         d_params = dict(
             W=dW.astype(params["W"].dtype),
@@ -891,6 +1486,7 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
         return loss, _unpack_state(final, num_var, num_constr, n, hidden)
 
     fused_chunk_loss.segment_len = J
+    fused_chunk_loss.stream = stream
     if mesh is None:
         return fused_chunk_loss
 
@@ -911,4 +1507,5 @@ def make_fused_chunk_loss(*, num_var: int, num_constr: int, batch: int,
                          check_vma=False)(params, state, data, t0)
 
     dp_chunk_loss.segment_len = J
+    dp_chunk_loss.stream = stream
     return dp_chunk_loss

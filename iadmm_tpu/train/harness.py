@@ -380,7 +380,7 @@ def preload_train_stack(ds: RawDataset, ids: np.ndarray, n_batches: int,
     return stacked, cost_stack
 
 
-def _wait_for_backend(timeout_s: float = 1800.0, poll_s: float = 30.0,
+def _wait_for_backend(timeout_s: float = 3600.0, poll_s: float = 30.0,
                       verbose: bool = True) -> None:
     """Block until the accelerator accepts work again.
 
@@ -718,8 +718,12 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                                 data.num_constr, cfg.hidden_dim)
                 if mesh is not None:
                     st = dist.shard_batch(st, mesh)
-                chunk_data = (sparse_mod.from_dense(data)
-                              if sparse_mod is not None else data)
+                chunk_data = (sparse_mod.from_dense(
+                    data, fmt=cfg.sparse_format,
+                    dtype=(jnp.bfloat16 if cfg.matvec_mode == "bf16"
+                           else jnp.float32),
+                    interpret=jax.default_backend() not in ("tpu",))
+                    if sparse_mod is not None else data)
                 for ci in range(n_chunks):
                     t0 = jnp.asarray(ci * cfg.truncated_length, jnp.int32)
                     params, opt_state, st, loss = train_chunk(

@@ -79,8 +79,15 @@ def main():
     else:
         params = lstm_init(jax.random.PRNGKey(0), input_dim=2, hidden_dim=h,
                            length=K)
+    # kernel_rev: bump when kernels/stage2_kernel.py changes behaviour, so
+    # append-only rows stay interpretable (VERDICT r3 weak #4).
     out = {"shape": dict(B=B, n=n, mi=mi, me=me, h=h, K=K,
-                         feas_rest=args.feas_rest)}
+                         feas_rest=args.feas_rest),
+           "kernel_rev": 3,
+           "date": time.strftime("%Y-%m-%d"),
+           "solvers": {"fused": "stage2 kkt in-kernel solver",
+                       "fused-direct": "stage2 explicit-M^-1 direct solver",
+                       "lu": "XLA batched LU baseline"}}
 
     for s2 in ("fused", "fused-direct", "lu"):
         solve = make_solver(params, hidden_dim=h, num_iters=K,

@@ -121,15 +121,27 @@ def main():
                 v0, args.iters, args.reps, key)
 
         nse = max(int((np.asarray(M) != 0).sum(axis=(1, 2)).max()), 1)
-        Mb = jsparse.BCOO.fromdense(jnp.asarray(M), nse=nse, n_batch=1)
-        try:
-            row["bcoo_s"] = time_iterated(
-                lambda x: renorm(jsparse.bcoo_dot_general(
-                    Mb, x, dimension_numbers=(((2,), (1,)), ((0,), (0,))))),
-                v0, args.iters, args.reps, "bcoo")
-        except Exception as e:
-            row["bcoo_error"] = f"{type(e).__name__}: {e}"[:200]
-            log(f"  bcoo failed: {row['bcoo_error']}")
+        # Guard: the BCOO program at nse≈3.6M (density 0.45, n=1000, B=8)
+        # crashed the axon TPU worker outright in round 3 (CLAUDE.md).  At
+        # those densities BCOO has already lost to dense by construction
+        # (gather traffic > streaming the dense rows), so skip rather than
+        # risk taking the whole sweep down.
+        bcoo_cap = 2_500_000
+        if on_tpu and nse > bcoo_cap:
+            row["bcoo_skipped"] = (f"nse={nse} > {bcoo_cap} "
+                                   "(crashes the axon TPU worker)")
+            log(f"  bcoo skipped: {row['bcoo_skipped']}")
+        else:
+            Mb = jsparse.BCOO.fromdense(jnp.asarray(M), nse=nse, n_batch=1)
+            try:
+                row["bcoo_s"] = time_iterated(
+                    lambda x: renorm(jsparse.bcoo_dot_general(
+                        Mb, x,
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))))),
+                    v0, args.iters, args.reps, "bcoo")
+            except Exception as e:
+                row["bcoo_error"] = f"{type(e).__name__}: {e}"[:200]
+                log(f"  bcoo failed: {row['bcoo_error']}")
 
         best_sparse = min(v for k, v in row.items()
                           if k.endswith("_s") and k != "dense_bf16_s")

@@ -28,12 +28,19 @@ def main():
     from iadmm_tpu.types import QPBatch, init_state
     from iadmm_tpu.solvers import cells
 
-    K = 100
+    stream = None
+    if len(sys.argv) > 6:
+        stream = bool(int(sys.argv[6]))
+    K = int(os.environ.get("IADMM_CHECK_K", 100))
     J = seg or pick_segment_len(_round_up(n, 128), _round_up(m, 128), h, K)
-    print(f"n={n} m={m} h={h} B={B} K={K} -> segment J={J}", flush=True)
+    print(f"n={n} m={m} h={h} B={B} K={K} -> segment J={J} "
+          f"stream={stream}", flush=True)
     fused = make_fused_chunk_loss(
         num_var=n, num_constr=m, batch=B, hidden=h, sigma=6e-6,
-        chunk_len=K, outer_T=K, K_total=K, seg=J)
+        chunk_len=K, outer_T=K, K_total=K,
+        **(dict(stream=True) if stream else dict(seg=J)))
+    print(f"variant: stream={fused.stream} J={fused.segment_len}",
+          flush=True)
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)

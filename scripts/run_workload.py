@@ -52,6 +52,12 @@ WORKLOADS = {
     "Sparse_QP": dict(prob_type="Sparse_QP", num_var=1000, num_ineq=500,
                       outer_T=100, truncated_length=100, hidden_dim=400,
                       eq_tol=0.5, sparse=True, num_devices=1),
+    # Portfolio: the build's own dense-PSD-Q family (BASELINE.json
+    # configs[4]; factor-model covariance, budget equality + box rows).
+    # num_ineq carries the factor count k (generators.generate dispatch).
+    "Portfolio": dict(prob_type="Portfolio", num_var=500, num_ineq=50,
+                      outer_T=100, truncated_length=100, hidden_dim=400,
+                      eq_tol=0.1, preload_dtype="bfloat16"),
     # SVM: A0 is (940, 2500, 2000) -> 8.9 GB bf16, just over the 8 GB auto
     # budget; Q is diagonal (weights 1, slacks 0) so the diag-Q preload
     # leaves ~7 GB HBM for the K=50 working set.  'always' keeps the

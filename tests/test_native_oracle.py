@@ -65,3 +65,35 @@ def test_label_dataset_native_backend():
     for i in range(5):
         g = P[i] @ ds.x_opt[i] + ds.p[i] + ds.A0[i].T @ ds.y_opt[i]
         assert np.abs(g).max() < 1e-3
+
+
+def test_dual_infeasible_certificate():
+    """Unbounded QP (min -x s.t. x >= 0) exits with status 4 in a handful
+    of iterations instead of burning max_iter (the SVM family's lambda<0
+    draws, reference: generate_data.py:189)."""
+    P = np.zeros((1, 1, 1)); q = np.array([[-1.0]]); A = np.ones((1, 1, 1))
+    zl = np.array([[0.0]]); zu = np.array([[np.inf]])
+    x, y, iters, status = native.solve_qp_batch(P, q, A, zl, zu,
+                                                max_iter=20000)
+    assert status[0] == 4
+    assert iters[0] < 500
+
+
+def test_primal_infeasible_certificate():
+    """Contradictory equalities (x = 0 and x = 1) exit with status 3."""
+    P = np.zeros((1, 1, 1)); q = np.zeros((1, 1))
+    A = np.ones((1, 2, 1))
+    zl = np.array([[0.0, 1.0]]); zu = np.array([[0.0, 1.0]])
+    x, y, iters, status = native.solve_qp_batch(P, q, A, zl, zu,
+                                                max_iter=20000)
+    assert status[0] == 3
+    assert iters[0] < 2000
+
+
+def test_svm_family_labeling_drops_unbounded():
+    """label_dataset on a small SVM batch keeps the lambda>0 instances and
+    drops the unbounded ones quickly."""
+    ds = generate("SVM", num_var=30, num_ineq=10, data_size=8, seed=17)
+    lam = ds.p[:, 30]
+    ids = oracle.label_dataset(ds, eps=1e-4, backend="native")
+    assert set(ids) == set(np.nonzero(lam > 0)[0])

@@ -121,10 +121,14 @@ def replica_chunk_loss(params, st: IterState, data: QPBatch, sigma,
     return losses.sum() / outer_T, IterState(x=x, y=y, z=z, xv=xv, H=H, C=C)
 
 
-@pytest.mark.parametrize("t0_val,seg,dtype", [(0, 2, "float32"),
-                                              (4, 4, "float32"),
-                                              (0, 2, "bfloat16")])
-def test_fused_chunk_grads_match_replica(t0_val, seg, dtype):
+@pytest.mark.parametrize("t0_val,seg,dtype,stream",
+                         [(0, 2, "float32", False),
+                          (4, 4, "float32", False),
+                          (0, 2, "bfloat16", False),
+                          (0, 0, "float32", True),
+                          (4, 0, "float32", True),
+                          (0, 0, "bfloat16", True)])
+def test_fused_chunk_grads_match_replica(t0_val, seg, dtype, stream):
     B, n, m, h = 2, 8, 8, 16
     chunk_len, outer_T, K_total, sigma = 4, 8, 8, 1e-3
     data, params, st = make_problem(jax.random.PRNGKey(0), B, n, m, h)
@@ -134,7 +138,9 @@ def test_fused_chunk_grads_match_replica(t0_val, seg, dtype):
     fused = make_fused_chunk_loss(
         num_var=n, num_constr=m, batch=B, hidden=h, sigma=sigma,
         chunk_len=chunk_len, outer_T=outer_T, K_total=K_total,
-        interpret=True, seg=min(seg, chunk_len), compute_dtype=dtype)
+        interpret=True, seg=min(seg, chunk_len), compute_dtype=dtype,
+        stream=stream)
+    assert fused.stream == stream
 
     t0 = jnp.asarray(t0_val, jnp.int32)
     (lf, stf), gf = jax.value_and_grad(
