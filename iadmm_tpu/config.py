@@ -72,6 +72,10 @@ class ExperimentConfig:
     stage2_rho: float = 0.0         # 0 = last learned rho (reference parity,
                                     # main.py:882,1061); >0 = fixed rho_bar
     save_sol: bool = False
+    theory: bool = False            # per-iteration theory-condition traces
+                                    # at eval (evaluation/theory.py — the
+                                    # reference's commented-out eigvalsh
+                                    # analysis, main.py:900-946)
 
     # --- TPU-native additions (no reference counterpart) ---
     epoch_scan: bool = True         # False = per-batch dispatch over the

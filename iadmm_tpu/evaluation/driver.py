@@ -61,6 +61,8 @@ class TestReport:
     x_final: np.ndarray      # (N, n) final unscaled iterates
     baseline: Optional[Dict] = None
     oracle_gap: Optional[Dict] = None  # vs stored ground-truth solutions
+    theory: Optional[Dict] = None      # per-t theory-condition traces
+                                       # (evaluation/theory.py, cfg.theory)
 
     def table(self, every: int = 1) -> str:
         """Per-iteration report table (reference: main.py:1117-1161)."""
@@ -151,6 +153,15 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
         return data_scaled, sc
 
     @jax.jit
+    def theory_batch(params, data_scaled, data_orig, scaling):
+        from .theory import theory_rollout
+        B = data_orig.p.shape[0]
+        st = init_state(B, data_orig.num_var, data_orig.num_constr,
+                        cfg.hidden_dim)
+        return theory_rollout(step_fn, params, st, data_scaled, data_orig,
+                              scaling, sigma, T)
+
+    @jax.jit
     def stage2_batch(params, st, data_orig, scaling):
         # Stage II runs in ORIGINAL space with the last learned rho_vec
         # (reference: main.py:1017-1064); cfg.stage2_rho > 0 overrides with
@@ -193,6 +204,7 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
 
     traces: List[Dict] = []
     s2_traces: List[Dict] = []
+    theory_traces: List[Dict] = []
     xs: List[np.ndarray] = []
     total_time = 0.0
     s2_time = 0.0
@@ -221,6 +233,13 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
             print(f"run_test: batch {bi + 1}/{n_batches} "
                   f"({total_time:.2f}s cumulative)", flush=True)
         traces.append(_trace_to_numpy(trace))
+        if cfg.theory and sparse_mod is None:
+            # diagnostics, untimed (the reference's version was commented
+            # out and would not have been inside the timed region either)
+            th = theory_batch(params,
+                              data_scaled if cfg.scaling else data_orig,
+                              data_orig, sc)
+            theory_traces.append({k: np.asarray(v) for k, v in th.items()})
         if cfg.feas_rest:
             # Stage II is part of the reference's timed region
             # (main.py:1055-1066): its wall-clock counts toward total_time
@@ -278,11 +297,16 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
                             parallel_time=s2_time / len(test_ids),
                             test_size=len(test_ids),
                             x_final=np.concatenate(xs))
+    theory = None
+    if theory_traces:
+        theory = {k: np.nanmean(np.stack([t[k] for t in theory_traces]),
+                                axis=0)
+                  for k in theory_traces[0]}
     report = TestReport(**a, stage2=stage2, total_time=total_time,
                         parallel_time=total_time / len(test_ids),
                         test_size=len(test_ids),
                         x_final=np.concatenate(xs),
-                        oracle_gap=oracle_gap)
+                        oracle_gap=oracle_gap, theory=theory)
     if verbose:
         print(report.table(every=max(T // 20, 1)))
         if oracle_gap is not None:
@@ -312,9 +336,13 @@ def export_traces(report: TestReport, path: str) -> None:
             flat[f"stage2_{k}"] = getattr(report.stage2, k)
     if path.endswith(".mat"):
         import scipy.io
-        # schema parity with the reference's savemat: it exports the
-        # theory-condition arrays as empty lists (they are filled only by
-        # commented-out code, reference: main.py:905-944, 1240-1262)
+        # schema parity with the reference's savemat: the theory-condition
+        # arrays are empty unless cfg.theory filled them
+        # (evaluation/theory.py implements the reference's commented-out
+        # formulas, main.py:905-944; export keys main.py:1240-1262)
+        if report.theory:
+            for k, v in report.theory.items():
+                flat[k] = np.asarray(v).reshape(1, -1)
         for base in ("x_cond_1", "x_cond_2", "z_cond_1", "z_cond_2",
                      "alpha_cond"):
             for side in ("left", "right"):

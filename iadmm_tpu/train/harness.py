@@ -380,6 +380,12 @@ def preload_train_stack(ds: RawDataset, ids: np.ndarray, n_batches: int,
     return stacked, cost_stack
 
 
+# Test hook (tests/test_harness_recovery.py): inject one epoch-scan failure
+# to exercise the crash-fallback path on CPU, where a real TPU-worker crash
+# cannot be produced.  {"crash_first_epoch_scan": True} arms it.
+_TEST_HOOKS: Dict[str, bool] = {}
+
+
 def _wait_for_backend(timeout_s: float = 3600.0, poll_s: float = 30.0,
                       verbose: bool = True) -> None:
     """Block until the accelerator accepts work again.
@@ -668,6 +674,8 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
             snap = (jax.tree.map(np.asarray, params),
                     jax.tree.map(np.asarray, opt_state))
             try:
+                if _TEST_HOOKS.pop("crash_first_epoch_scan", False):
+                    raise RuntimeError("injected epoch-scan crash (test)")
                 params, opt_state, losses, x_last = epoch_fn(
                     params, opt_state, stacked)
                 loss = float(losses[-1])  # completion barrier: crash surfaces

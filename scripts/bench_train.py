@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--batch", type=int, default=2,
                     help="instance batch; 2 = the reference's latency-bound "
                          "protocol (main.py:55), 8/16 = throughput mode")
+    ap.add_argument("--variant", default="both",
+                    choices=["both", "stream", "recompute"],
+                    help="which fused kernel variant(s) to time")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint each step in the backward (needed "
                          "at B=16: full activation storage is 17 GB > HBM)")
@@ -107,29 +110,40 @@ def main():
 
     if not args.skip_fused:
         from iadmm_tpu.kernels.train_rollout import make_fused_chunk_loss
-        try:
-            fused_loss = make_fused_chunk_loss(
-                num_var=n, num_constr=mi + me, batch=B, hidden=h, sigma=6e-6,
-                chunk_len=K, outer_T=K, K_total=K, compute_dtype="bfloat16",
-                interpret=jax.default_backend() != "tpu")
-            chunk_fused = make_train_chunk(None, optimizer, K, K, 6e-6,
-                                           loss_fn=fused_loss)
-            st = init_state(B, n, mi + me, h, dtype=jnp.float32)
-            # the step-backend chunk donates its params/opt_state buffers, so
-            # re-materialize identical params rather than reusing deleted
-            # arrays
-            params = lstm_init(jax.random.PRNGKey(0), input_dim=2,
-                               hidden_dim=h, length=K)
-            best, l0 = time_chunk(chunk_fused, dict(params),
-                                  optimizer.init(params),
-                                  st, data, args.reps, "fused-train")
-            out["fused"] = dict(ms_per_iter=best * 1e3 / K, chunk_s=best,
-                                loss0=l0, **derived(best * 1e3 / K))
-            log(f"fused-train: {best * 1e3 / K:.3f} ms/iter "
-                f"({out['fused']['instance_iters_per_s']:.0f} inst_it/s)")
-        except Exception as e:  # e.g. VMEM overflow at large B
-            out["fused"] = dict(error=f"{type(e).__name__}: {e}"[:300])
-            log(f"fused-train skipped: {out['fused']['error']}")
+        variants = [("fused_stream", dict(stream=True)),
+                    ("fused_recompute", dict(stream=False))]
+        if args.variant != "both":
+            variants = [v for v in variants if v[0].endswith(args.variant)]
+        for key, kw in variants:
+            try:
+                fused_loss = make_fused_chunk_loss(
+                    num_var=n, num_constr=mi + me, batch=B, hidden=h,
+                    sigma=6e-6, chunk_len=K, outer_T=K, K_total=K,
+                    compute_dtype="bfloat16",
+                    interpret=jax.default_backend() != "tpu", **kw)
+                chunk_fused = make_train_chunk(None, optimizer, K, K, 6e-6,
+                                               loss_fn=fused_loss)
+                st = init_state(B, n, mi + me, h, dtype=jnp.float32)
+                # chunk updates donate params/opt_state buffers, so
+                # re-materialize identical params per variant
+                params = lstm_init(jax.random.PRNGKey(0), input_dim=2,
+                                   hidden_dim=h, length=K)
+                best, l0 = time_chunk(chunk_fused, dict(params),
+                                      optimizer.init(params),
+                                      st, data, args.reps, key)
+                out[key] = dict(ms_per_iter=best * 1e3 / K, chunk_s=best,
+                                loss0=l0, segment_len=fused_loss.segment_len,
+                                **derived(best * 1e3 / K))
+                log(f"{key}: {best * 1e3 / K:.3f} ms/iter "
+                    f"({out[key]['instance_iters_per_s']:.0f} inst_it/s, "
+                    f"MFU {out[key]['mfu']:.2f})")
+            except Exception as e:  # e.g. VMEM/HBM overflow at large B
+                out[key] = dict(error=f"{type(e).__name__}: {e}"[:300])
+                log(f"{key} skipped: {out[key]['error']}")
+        done = [out[k] for k, _ in variants
+                if "ms_per_iter" in out.get(k, {})]
+        if done:
+            out["fused"] = min(done, key=lambda d: d["ms_per_iter"])
 
     if "step" in out and "ms_per_iter" in out.get("fused", {}):
         out["speedup"] = out["step"]["ms_per_iter"] / out["fused"]["ms_per_iter"]
