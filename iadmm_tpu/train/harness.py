@@ -653,6 +653,7 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     t_begin = time.time()
     epoch = start_epoch
     first_dispatch = True
+    recoveries = 0
     while epoch < cfg.num_epoch:
         if cfg.train_hours and (time.time() - t_begin) > cfg.train_hours * 3600:
             if verbose:
@@ -682,6 +683,9 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                 train_obj_dev = last_batch_obj(x_last, stacked, cost_stack)
             except Exception as e:
                 cancel_watchdog()
+                if recoveries >= 3:
+                    raise
+                recoveries += 1
                 msg = repr(e)
                 runlog.log("epoch_scan_crash", epoch=epoch, error=msg[:500])
                 print(f"whole-epoch scan failed at epoch {epoch}: "
@@ -702,54 +706,87 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
                     scale_jit, mesh=mesh, diag_q=diag_q)
                 continue  # retry the SAME epoch on the per-batch route
         else:
-            last = None
-            for bi in range(n_batches):
-                if stacked is not None:
-                    # epoch_scan=False route: one jitted gather from the
-                    # device-resident scaled stack per batch — no host
-                    # staging (the 129 GB leak) and no 470-batch program
-                    # (the TPU-worker crash), at ~one dispatch per batch.
-                    data, cost = index_stack(stacked, cost_stack,
-                                             jnp.asarray(bi, jnp.int32))
-                else:
-                    ids = train_ids[bi * cfg.batch_size:
-                                    (bi + 1) * cfg.batch_size]
-                    data_orig = to_qp_batch(ds, ids)
-                    if mesh is not None:
-                        data_orig = dist.shard_batch(data_orig, mesh)
-                    if cfg.scaling:
-                        data, sc = scale_jit(data_orig)
-                        cost = sc.cost
+            # Same crash insurance for the per-batch route: a worker crash
+            # mid-epoch (or any transient dispatch failure) retries this
+            # epoch from a host snapshot instead of killing an hours-long
+            # run.  Bounded (with the scan-downgrade above) at 3 recoveries
+            # per training run so a real bug still raises.
+            snap = (jax.tree.map(np.asarray, params),
+                    jax.tree.map(np.asarray, opt_state))
+            try:
+                if _TEST_HOOKS.pop("crash_per_batch", False):
+                    raise RuntimeError("injected per-batch crash (test)")
+                last = None
+                for bi in range(n_batches):
+                    if stacked is not None:
+                        # epoch_scan=False route: one jitted gather from the
+                        # device-resident scaled stack per batch — no host
+                        # staging (the 129 GB leak) and no 470-batch program
+                        # (the TPU-worker crash), at ~one dispatch per batch.
+                        data, cost = index_stack(stacked, cost_stack,
+                                                 jnp.asarray(bi, jnp.int32))
                     else:
-                        data, cost = data_orig, None
-                st = init_state(cfg.batch_size, data.num_var,
-                                data.num_constr, cfg.hidden_dim)
+                        ids = train_ids[bi * cfg.batch_size:
+                                        (bi + 1) * cfg.batch_size]
+                        data_orig = to_qp_batch(ds, ids)
+                        if mesh is not None:
+                            data_orig = dist.shard_batch(data_orig, mesh)
+                        if cfg.scaling:
+                            data, sc = scale_jit(data_orig)
+                            cost = sc.cost
+                        else:
+                            data, cost = data_orig, None
+                    st = init_state(cfg.batch_size, data.num_var,
+                                    data.num_constr, cfg.hidden_dim)
+                    if mesh is not None:
+                        st = dist.shard_batch(st, mesh)
+                    chunk_data = (sparse_mod.from_dense(
+                        data, fmt=cfg.sparse_format,
+                        dtype=(jnp.bfloat16 if cfg.matvec_mode == "bf16"
+                               else jnp.float32),
+                        interpret=jax.default_backend() not in ("tpu",))
+                        if sparse_mod is not None else data)
+                    for ci in range(n_chunks):
+                        t0 = jnp.asarray(ci * cfg.truncated_length, jnp.int32)
+                        params, opt_state, st, loss = train_chunk(
+                            params, opt_state, st, chunk_data, t0)
+                    last = (data, st, cost, loss)
+                    # Periodic completion barrier: the tunnelled backend is
+                    # fully async, so every streamed batch's host staging
+                    # buffers stay pinned until a device->host fetch.  Without
+                    # this, a 470-batch epoch over a 12 GB dataset grew the
+                    # process to 129 GB and got OOM-killed (Random_QP,
+                    # --preload never).  ~25 ms per fetch, every 16 batches.
+                    if bi % 16 == 15:
+                        float(loss)
+                data, st, cost, loss = last
+                train_obj_dev = metrics.obj_fn(st.x, data.Q, data.p)
+                if cost is not None:
+                    train_obj_dev = train_obj_dev / cost
+                train_obj_dev = train_obj_dev.mean()
+                loss = float(loss)  # completion barrier inside the guard
+            except Exception as e:
+                cancel_watchdog()
+                if recoveries >= 3:
+                    raise
+                recoveries += 1
+                msg = repr(e)
+                runlog.log("per_batch_crash", epoch=epoch, error=msg[:500])
+                print(f"per-batch epoch {epoch} failed: {msg[:200]}\n"
+                      f"-> waiting for backend recovery and retrying this "
+                      f"epoch", flush=True)
+                first_dispatch = True
+                _wait_for_backend(verbose=verbose)
+                params = jax.tree.map(jnp.asarray, snap[0])
+                opt_state = jax.tree.map(jnp.asarray, snap[1])
                 if mesh is not None:
-                    st = dist.shard_batch(st, mesh)
-                chunk_data = (sparse_mod.from_dense(
-                    data, fmt=cfg.sparse_format,
-                    dtype=(jnp.bfloat16 if cfg.matvec_mode == "bf16"
-                           else jnp.float32),
-                    interpret=jax.default_backend() not in ("tpu",))
-                    if sparse_mod is not None else data)
-                for ci in range(n_chunks):
-                    t0 = jnp.asarray(ci * cfg.truncated_length, jnp.int32)
-                    params, opt_state, st, loss = train_chunk(
-                        params, opt_state, st, chunk_data, t0)
-                last = (data, st, cost, loss)
-                # Periodic completion barrier: the tunnelled backend is
-                # fully async, so every streamed batch's host staging
-                # buffers stay pinned until a device->host fetch.  Without
-                # this, a 470-batch epoch over a 12 GB dataset grew the
-                # process to 129 GB and got OOM-killed (Random_QP,
-                # --preload never).  ~25 ms per fetch, every 16 batches.
-                if bi % 16 == 15:
-                    float(loss)
-            data, st, cost, loss = last
-            train_obj_dev = metrics.obj_fn(st.x, data.Q, data.p)
-            if cost is not None:
-                train_obj_dev = train_obj_dev / cost
-            train_obj_dev = train_obj_dev.mean()
+                    params = dist.replicate(params, mesh)
+                    opt_state = dist.replicate(opt_state, mesh)
+                if stacked is not None:
+                    stacked, cost_stack = preload_train_stack(
+                        ds, train_ids[:n_used], n_batches, cfg.batch_size,
+                        cfg, scale_jit, mesh=mesh, diag_q=diag_q)
+                continue
         loss = float(loss)  # host fetch = epoch completion barrier
         cancel_watchdog()
         t_train = time.time() - t_start

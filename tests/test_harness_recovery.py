@@ -73,3 +73,26 @@ def test_loss_spike_rolls_back_to_gated_checkpoint(tmp_path):
     # training continued after the rollback and stayed finite
     assert res.epochs_run == cfg.num_epoch
     assert all(np.isfinite(h["train_loss"]) for h in res.history)
+
+
+def test_per_batch_crash_retries_epoch(tmp_path):
+    """The per-batch route has the same crash insurance: a transient
+    failure retries the epoch from the host snapshot."""
+    ds = generate("QP", num_var=12, num_ineq=6, num_eq=6, data_size=20,
+                  seed=3)
+    cfg = _cfg(tmp_path, epoch_scan=False)
+    harness._TEST_HOOKS["crash_per_batch"] = True
+    try:
+        res = harness.train(cfg, ds, verbose=False)
+    finally:
+        harness._TEST_HOOKS.clear()
+    assert res.epochs_run == cfg.num_epoch
+    assert [h["epoch"] for h in res.history] == list(range(cfg.num_epoch))
+    kinds = [r["kind"] for r in _read_log(tmp_path, cfg)]
+    assert "per_batch_crash" in kinds
+    # identical to an uncrashed run (snapshot restore is exact)
+    cfg2 = _cfg(tmp_path, epoch_scan=False, save_dir=str(tmp_path / "c"))
+    res2 = harness.train(cfg2, ds, verbose=False)
+    np.testing.assert_allclose(
+        [h["train_loss"] for h in res.history],
+        [h["train_loss"] for h in res2.history], rtol=1e-6)
