@@ -232,3 +232,15 @@ def test_fused_dp_matches_single_device():
                                    rtol=1e-5, atol=1e-7, err_msg=k)
     np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st2.x),
                                rtol=1e-6)
+
+
+def test_stream_auto_selection(monkeypatch):
+    """stream=None auto-picks: on when the chunk checkpoint stack fits the
+    HBM budget, off (recompute segments) when it does not."""
+    kw = dict(num_var=8, num_constr=8, batch=2, hidden=16, sigma=1e-3,
+              chunk_len=4, outer_T=8, K_total=8, interpret=True)
+    on = make_fused_chunk_loss(**kw)
+    assert on.stream and on.segment_len == 4
+    monkeypatch.setenv("IADMM_STREAM_HBM", "1")  # 1 byte: nothing fits
+    off = make_fused_chunk_loss(**kw)
+    assert not off.stream
