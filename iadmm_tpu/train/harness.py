@@ -542,21 +542,41 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
     best: Dict = {}
 
     # Epoch-level resume (the reference only ever saves, never resumes
-    # training, SURVEY.md §5 checkpoint row).
+    # training, SURVEY.md §5 checkpoint row).  The gated best checkpoint is
+    # the reference-parity artifact; a ``..._latest`` sibling is written at
+    # loop exit so a budget-bound run that never met the gate (or whose
+    # best is many epochs old) can still be topped up — resume prefers
+    # whichever is newer.
+    latest_path = ckpt_path + "_latest"
     start_epoch = 0
     resumed_best = None
-    if cfg.resume and os.path.exists(ckpt_path):
-        payload = ckpt.load_checkpoint(ckpt_path)
-        params = jax.tree.map(jnp.asarray, payload["params"])
-        if "opt_state" in payload:
-            opt_state = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(opt_state),
-                [jnp.asarray(l) for l in
-                 jax.tree_util.tree_leaves(payload["opt_state"])])
-        start_epoch = int(payload.get("epoch", 0)) + 1
-        resumed_best = payload.get("best")  # {'val_obj':..., 'counter':...}
-        if verbose:
-            print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+    if cfg.resume:
+        payload = None
+        best_epoch = -1
+        if os.path.exists(ckpt_path):
+            payload = ckpt.load_checkpoint(ckpt_path)
+            best_epoch = int(payload.get("epoch", 0))
+            resumed_best = payload.get("best")
+        if os.path.exists(latest_path):
+            latest = ckpt.load_checkpoint(latest_path)
+            if int(latest.get("epoch", 0)) > best_epoch:
+                payload = dict(latest)
+                # keep the GATED best's stopper state so a later in-gate
+                # epoch can't overwrite a strictly better checkpoint
+                if resumed_best is not None:
+                    payload["best"] = resumed_best
+        if payload is not None:
+            params = jax.tree.map(jnp.asarray, payload["params"])
+            if "opt_state" in payload:
+                opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(opt_state),
+                    [jnp.asarray(l) for l in
+                     jax.tree_util.tree_leaves(payload["opt_state"])])
+            start_epoch = int(payload.get("epoch", 0)) + 1
+            resumed_best = payload.get("best")
+            if verbose:
+                print(f"resumed at epoch {start_epoch} "
+                      f"(gated best epoch: {best_epoch})")
     check_schedule_len(params, cfg.outer_T)
 
     def save_best():
@@ -860,6 +880,22 @@ def train(cfg: ExperimentConfig, ds: RawDataset,
         epoch += 1
         if early:
             break
+
+    # Latest-state checkpoint at loop exit (budget / patience / completion):
+    # lets a top-up resume continue from here even when the tolerance gate
+    # was never met (the gated best checkpoint is untouched).
+    if epochs_run > start_epoch:
+        try:
+            ckpt.save_checkpoint(latest_path, {
+                "params": jax.tree.map(np.asarray, params),
+                "opt_state": opt_state,
+                "epoch": epochs_run - 1,
+                "best": ({"val_obj": stopper.best_loss,
+                          "counter": stopper.counter}
+                         if stopper.best_loss is not None else None),
+                "config": cfg.to_dict()})
+        except Exception as e:  # never let bookkeeping kill a finished run
+            print(f"latest-checkpoint save failed: {e!r}", flush=True)
 
     # Return device arrays: best["params"] is a host copy (donation safety),
     # but consumers index rho/alpha with traced t inside scans.

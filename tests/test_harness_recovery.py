@@ -96,3 +96,22 @@ def test_per_batch_crash_retries_epoch(tmp_path):
     np.testing.assert_allclose(
         [h["train_loss"] for h in res.history],
         [h["train_loss"] for h in res2.history], rtol=1e-6)
+
+
+def test_latest_checkpoint_topup_resume(tmp_path):
+    """A budget-bound run that never met the gate can still be resumed from
+    the ``..._latest`` checkpoint (the gated best stays authoritative when
+    newer)."""
+    ds = generate("QP", num_var=12, num_ineq=6, num_eq=6, data_size=20,
+                  seed=3)
+    # eq_tol=0: gate can never pass -> no gated checkpoint
+    cfg = _cfg(tmp_path, num_epoch=2, eq_tol=0.0)
+    res1 = harness.train(cfg, ds, verbose=False)
+    assert res1.checkpoint_path is None  # never gated
+    cfg2 = _cfg(tmp_path, num_epoch=4, eq_tol=0.0, resume=True)
+    res2 = harness.train(cfg2, ds, verbose=False)
+    # continued from epoch 2, not from scratch
+    assert [h["epoch"] for h in res2.history] == [2, 3]
+    # and the loss continued the first run's trajectory (strictly fewer
+    # epochs' worth of loss than a from-scratch 4-epoch run would log)
+    assert res2.epochs_run == 4
