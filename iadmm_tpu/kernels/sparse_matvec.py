@@ -53,11 +53,12 @@ class BSRMatrix:
 
     @property
     def occupancy(self) -> float:
-        """Stored tiles / total tiles (the HBM-traffic factor vs dense)."""
+        """Stored tiles / total tiles (the HBM-traffic factor vs dense):
+        K stored column-tiles per row-tile over Cn total column-tiles."""
         B, R, K = self.cols.shape
         tm, tn = self.tile
-        total = R * _round_up(self.shape[1], tn) // tn
-        return K / max(total, 1)
+        cn = _round_up(self.shape[1], tn) // tn
+        return K / max(cn, 1)
 
 
 def bsr_from_dense(M: np.ndarray, tile: Tuple[int, int] = (128, 128),

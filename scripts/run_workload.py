@@ -136,6 +136,12 @@ def main():
     ap.add_argument("--train_backend", default=None,
                     choices=["step", "fused"],
                     help="override the training backend (default: step)")
+    ap.add_argument("--sparse_format", default=None,
+                    choices=["bcoo", "bsr"],
+                    help="sparse solver-data layout for sparse=True "
+                         "families (bsr = tile-sparse Pallas matvecs; its "
+                         "small kernels also dodge the BCOO scan program's "
+                         "pathological compile times on the axon backend)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -149,6 +155,8 @@ def main():
     w = dict(WORKLOADS[args.family])
     if args.preload:
         w["preload"] = args.preload
+    if args.sparse_format:
+        w["sparse_format"] = args.sparse_format
     if args.no_epoch_scan:
         w["epoch_scan"] = False
     feas_rest = args.feas_rest or w.pop("feas_rest", False)
