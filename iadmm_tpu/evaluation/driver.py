@@ -299,8 +299,14 @@ def run_test(cfg: ExperimentConfig, ds: RawDataset, params,
                             x_final=np.concatenate(xs))
     theory = None
     if theory_traces:
-        theory = {k: np.nanmean(np.stack([t[k] for t in theory_traces]),
-                                axis=0)
+        from .theory import PER_INSTANCE_KEYS
+        # batch-mean keys average over test batches; per-instance keys
+        # concatenate along the instance axis -> (T, test_size), matching
+        # the reference's per-instance appends (main.py:913-915)
+        theory = {k: (np.concatenate([t[k] for t in theory_traces], axis=1)
+                      if k in PER_INSTANCE_KEYS else
+                      np.nanmean(np.stack([t[k] for t in theory_traces]),
+                                 axis=0))
                   for k in theory_traces[0]}
     report = TestReport(**a, stage2=stage2, total_time=total_time,
                         parallel_time=total_time / len(test_ids),
@@ -341,8 +347,13 @@ def export_traces(report: TestReport, path: str) -> None:
         # (evaluation/theory.py implements the reference's commented-out
         # formulas, main.py:905-944; export keys main.py:1240-1262)
         if report.theory:
+            from .theory import PER_INSTANCE_KEYS
             for k, v in report.theory.items():
-                flat[k] = np.asarray(v).reshape(1, -1)
+                v = np.asarray(v)
+                # per-instance keys keep their (T, B) layout (the reference
+                # appends (B,1,1) per t, main.py:913-915); scalar traces
+                # export as a row vector
+                flat[k] = v if k in PER_INSTANCE_KEYS else v.reshape(1, -1)
         for base in ("x_cond_1", "x_cond_2", "z_cond_1", "z_cond_2",
                      "alpha_cond"):
             for side in ("left", "right"):

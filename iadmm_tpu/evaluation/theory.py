@@ -36,6 +36,12 @@ COND_KEYS = ("x_cond_1_left", "x_cond_2_left", "x_cond_2_right",
              "z_cond_1_left", "z_cond_1_right", "z_cond_2_left",
              "z_cond_2_right", "alpha_cond_left", "alpha_cond_right")
 
+# Keys the reference appends PER-INSTANCE, shape (B, 1, 1) per iteration
+# (main.py:913-915 — no .mean()); every other key is a batch-mean scalar.
+# Our traces mirror that: these two come out (T, B), the rest (T,)
+# (ADVICE r4 #3: exact reference-diffing of the .mat schema).
+PER_INSTANCE_KEYS = ("x_cond_2_left", "x_cond_2_right")
+
 
 def _norm(v):
     return jnp.linalg.norm(v, axis=-1)
@@ -45,9 +51,10 @@ def theory_rollout(step_fn, params, state: IterState, data_scaled: QPBatch,
                    data_orig: QPBatch, scaling: Optional[ScalingState],
                    sigma, num_iters: int,
                    metrics_mode: str = "default") -> Dict[str, jax.Array]:
-    """Per-iteration theory-condition traces, shape (T,) each; entry 0 is
-    NaN (the conditions compare successive iterates, reference ``if t>0``,
-    main.py:903)."""
+    """Per-iteration theory-condition traces — (T,) per key, except the
+    ``PER_INSTANCE_KEYS`` which come out (T, B) (reference appends those
+    per-instance, main.py:913-915).  Entry t=0 is NaN (the conditions
+    compare successive iterates, reference ``if t>0``, main.py:903)."""
     n = data_orig.num_var
     cx = cz = 1.0
     Q0 = data_orig.Q[0].astype(jnp.float32)
@@ -88,8 +95,8 @@ def theory_rollout(step_fn, params, state: IterState, data_scaled: QPBatch,
                 + bmv_t(data_orig.A0, y_pre)
                 + bmv_t(data_orig.A0,
                         rho_vec * (bmv(data_orig.A0, x_tild) - z_pre)))
-        x2l = _norm(grad).mean()
-        x2r = (cx * rho_norm * _norm(x_tild - x_pre)).mean()
+        x2l = _norm(grad)                            # per-instance, (B,)
+        x2r = cx * rho_norm * _norm(x_tild - x_pre)  # per-instance, (B,)
 
         # z subproblem condition 1 (reference: main.py:917-928)
         z1r = aug(x_tild, z_pre, y_pre, rho_vec)

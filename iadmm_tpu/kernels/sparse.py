@@ -109,7 +109,8 @@ class BSRQPBatch:
 
 
 def from_dense(data: QPBatch, nse_pad: int = 1024, fmt: str = "bcoo",
-               tile=(8, 128), dtype=None, interpret: bool = False):
+               tile=(8, 128), dtype=None, interpret: bool = False,
+               min_k=(0, 0, 0), min_nse=(0, 0)):
     """Convert a dense QPBatch to the device-sparse layout.
 
     ``fmt='bcoo'``: batched BCOO; nse is the max over the batch, rounded up
@@ -117,7 +118,12 @@ def from_dense(data: QPBatch, nse_pad: int = 1024, fmt: str = "bcoo",
     hit one compiled program instead of retracing per batch.
     ``fmt='bsr'``: padded tile-sparse BSR (kernels/sparse_matvec.py) with
     ``tile`` tiles; ``dtype`` sets the tile storage (bf16 halves the
-    streamed bytes, pairing with the bf16 matvec profile)."""
+    streamed bytes, pairing with the bf16 matvec profile).
+
+    ``min_k`` (Q, A0, A0T) / ``min_nse`` (Q, A0) floor the padded tile count
+    / nse so a caller converting many batches of one family (the train-split
+    sparse cache, train/sparse_preload.py) can pin every batch to one
+    compiled program shape."""
     if fmt == "bsr":
         from .sparse_matvec import bsr_from_dense
         import jax.numpy as _jnp
@@ -125,35 +131,84 @@ def from_dense(data: QPBatch, nse_pad: int = 1024, fmt: str = "bcoo",
         Qh = np.asarray(data.Q)
         Ah = np.asarray(data.A0)
         return BSRQPBatch(
-            Q=bsr_from_dense(Qh, tile, dt),
+            Q=bsr_from_dense(Qh, tile, dt, min_k=min_k[0]),
             p=data.p,
-            A0=bsr_from_dense(Ah, tile, dt),
-            A0T=bsr_from_dense(Ah.transpose(0, 2, 1), tile, dt),
+            A0=bsr_from_dense(Ah, tile, dt, min_k=min_k[1]),
+            A0T=bsr_from_dense(Ah.transpose(0, 2, 1), tile, dt,
+                               min_k=min_k[2]),
             zl=data.zl, zu=data.zu, eq_mask=data.eq_mask,
             interpret=interpret)
     if fmt != "bcoo":
         raise ValueError(f"unknown sparse format {fmt!r}")
 
-    def to_bcoo(M):
+    def to_bcoo(M, floor):
         nse = int(np.max(np.sum(np.asarray(M) != 0, axis=(-2, -1))))
-        nse = max(((nse + nse_pad - 1) // nse_pad) * nse_pad, 1)
+        nse = max(((nse + nse_pad - 1) // nse_pad) * nse_pad, 1, floor)
         nse = min(nse, M.shape[-2] * M.shape[-1])
         return jsparse.BCOO.fromdense(M, nse=nse, n_batch=1)
 
-    return SparseQPBatch(Q=to_bcoo(data.Q), p=data.p, A0=to_bcoo(data.A0),
+    return SparseQPBatch(Q=to_bcoo(data.Q, min_nse[0]), p=data.p,
+                         A0=to_bcoo(data.A0, min_nse[1]),
                          zl=data.zl, zu=data.zu, eq_mask=data.eq_mask)
 
 
-def _bmv(M: jsparse.BCOO, v: jax.Array) -> jax.Array:
-    """Batched sparse matvec (B,i,j)·(B,j)->(B,i)."""
+def _bmv_impl(M: jsparse.BCOO, v: jax.Array) -> jax.Array:
     return jsparse.bcoo_dot_general(
         M, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))))
 
 
-def _bmv_t(M: jsparse.BCOO, v: jax.Array) -> jax.Array:
-    """Batched transposed sparse matvec (B,i,j)·(B,i)->(B,j)."""
+def _bmv_t_impl(M: jsparse.BCOO, v: jax.Array) -> jax.Array:
     return jsparse.bcoo_dot_general(
         M, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))))
+
+
+def _zero_ct(x):
+    """Zero cotangent with JAX's dtype rules (float0 for integer leaves)."""
+    if jnp.issubdtype(x.dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+# The BCOO matvecs carry an explicit VJP (dv = Mᵀ·ȳ via the transposed
+# bcoo_dot_general; M is problem data -> zero cotangent) instead of relying
+# on bcoo_dot_general's transpose rule: that rule produces WRONG gradients
+# inside shard_map in jax 0.8 (verified minimal repro: value exact, grad
+# off by O(1) — the sampled-transpose path mishandles the manual batch
+# axis), and the sparse data-parallel route (make_sparse_chunk_loss) runs
+# every matvec under shard_map.
+
+@jax.custom_vjp
+def _bmv(M: jsparse.BCOO, v: jax.Array) -> jax.Array:
+    """Batched sparse matvec (B,i,j)·(B,j)->(B,i)."""
+    return _bmv_impl(M, v)
+
+
+def _bmv_fwd(M, v):
+    return _bmv_impl(M, v), M
+
+
+def _bmv_bwd(M, g):
+    return (jax.tree.map(_zero_ct, M), _bmv_t_impl(M, g))
+
+
+_bmv.defvjp(_bmv_fwd, _bmv_bwd)
+
+
+@jax.custom_vjp
+def _bmv_t(M: jsparse.BCOO, v: jax.Array) -> jax.Array:
+    """Batched transposed sparse matvec (B,i,j)·(B,i)->(B,j)."""
+    return _bmv_t_impl(M, v)
+
+
+def _bmv_t_fwd(M, v):
+    return _bmv_t_impl(M, v), M
+
+
+def _bmv_t_bwd(M, g):
+    return (jax.tree.map(_zero_ct, M), _bmv_impl(M, g))
+
+
+_bmv_t.defvjp(_bmv_t_fwd, _bmv_t_bwd)
 
 
 def kkt_feature_sparse(data, xv, x, y, z, sigma, rho_vec):
@@ -194,6 +249,12 @@ def primal_dual_residual_sparse(x, y, z, data):
     return pr, dr
 
 
+def obj_fn_sparse(x, data):
+    """0.5 xᵀQx + pᵀx with the Q product sparse (dense version:
+    evaluation/metrics.obj_fn; reference: utils.py:53-54)."""
+    return 0.5 * (x * data.Qv(x)).sum(-1) + (data.p * x).sum(-1)
+
+
 def chunk_loss_sparse(params, state: IterState, data, sigma,
                       chunk_len: int, outer_T: int, t0, remat: bool = False):
     """TBPTT chunk objective over sparse problem data — drop-in for
@@ -209,6 +270,75 @@ def chunk_loss_sparse(params, state: IterState, data, sigma,
     ts = t0 + jnp.arange(chunk_len)
     final, losses = jax.lax.scan(body, state, ts)
     return losses.sum() / outer_T, final
+
+
+def make_sparse_chunk_loss(sigma, chunk_len: int, outer_T: int,
+                           remat: bool = False, mesh=None):
+    """Harness ``loss_fn`` hook for the sparse route.
+
+    ``mesh=None``: plain single-device chunk loss.  With a ``('data',)``
+    mesh the loss runs under ``shard_map`` over the instance batch axis —
+    QP instances are i.i.d. (SURVEY.md §2.4), so data parallelism is a
+    trivial split of the batch; each device runs its local BSR/BCOO
+    matvec kernels on its shard and the per-chunk loss is ``pmean``-reduced.
+    ``shard_map`` is differentiable: the cotangent of the replicated params
+    arrives psum-reduced across devices, which is exactly the DP gradient
+    all-reduce (XLA lowers it onto ICI)."""
+    if mesh is None or "data" not in getattr(mesh, "axis_names", ()):
+        def loss_fn(p, st, data, t0):
+            return chunk_loss_sparse(p, st, data, sigma, chunk_len,
+                                     outer_T, t0, remat=remat)
+        return loss_fn
+
+    from jax.sharding import PartitionSpec as P
+    from functools import partial
+
+    # check_vma=False: bcoo_dot_general has no varying-manual-axes rule in
+    # jax 0.9, so vma tracking marks its (device-varying) output replicated
+    # and reverse-mode inserts a bogus psum — gradients come out exactly
+    # mesh-size x too large (verified minimal repro; dense ops are exact).
+    # With vma checking off, AD follows the plain per-device semantics and
+    # matches the single-device gradient to f64 roundoff (tests/test_dist).
+    shard_map = partial(jax.shard_map, check_vma=False)
+
+    def loss_fn(p, st, data, t0):
+        # BCOO carries its (B, m, n) shape as STATIC metadata, so the
+        # object cannot ride through shard_map whole (the leaves would be
+        # batch-split while the stale shape still says B).  Ship the raw
+        # leaves and rebuild a local-batch BCOO inside the shard.
+        if isinstance(data, SparseQPBatch):
+            qs, as_ = data.Q.shape[1:], data.A0.shape[1:]
+            flat = dict(qd=data.Q.data, qi=data.Q.indices,
+                        ad=data.A0.data, ai=data.A0.indices,
+                        p=data.p, zl=data.zl, zu=data.zu,
+                        eq=data.eq_mask)
+
+            def rebuild(flat):
+                Bl = flat["p"].shape[0]
+                return SparseQPBatch(
+                    Q=jsparse.BCOO((flat["qd"], flat["qi"]),
+                                   shape=(Bl,) + qs),
+                    A0=jsparse.BCOO((flat["ad"], flat["ai"]),
+                                    shape=(Bl,) + as_),
+                    p=flat["p"], zl=flat["zl"], zu=flat["zu"],
+                    eq_mask=flat["eq"])
+        else:
+            # BSRQPBatch: the static shape is per-instance (no batch dim),
+            # so batch-splitting the vals/cols leaves is safe as-is.
+            flat, rebuild = data, lambda d: d
+
+        def local(p, st, flat, t0):
+            loss, final = chunk_loss_sparse(p, st, rebuild(flat), sigma,
+                                            chunk_len, outer_T, t0,
+                                            remat=remat)
+            return jax.lax.pmean(loss, "data"), final
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P()),
+            out_specs=(P(), P("data")))(p, st, flat, t0)
+
+    return loss_fn
 
 
 def eval_rollout_sparse(params, state: IterState, data_sp,

@@ -61,10 +61,11 @@ class BSRMatrix:
         return K / max(cn, 1)
 
 
-def bsr_from_dense(M: np.ndarray, tile: Tuple[int, int] = (128, 128),
-                   dtype=jnp.float32) -> BSRMatrix:
-    """Host-side conversion of a (B, m, n) dense batch; K is the max active
-    column-tile count over all (instance, row-tile) pairs."""
+def bsr_tiles_host(M: np.ndarray, tile: Tuple[int, int] = (128, 128),
+                   min_k: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side tiling of a (B, m, n) dense batch into padded BSR
+    ``(vals, cols)`` numpy arrays; K is the max active column-tile count
+    over all (instance, row-tile) pairs, or ``min_k`` if larger."""
     M = np.asarray(M)
     B, m, n = M.shape
     tm, tn = tile
@@ -74,16 +75,42 @@ def bsr_from_dense(M: np.ndarray, tile: Tuple[int, int] = (128, 128),
     R, Cn = mp // tm, np_ // tn
     tiles = Mp.reshape(B, R, tm, Cn, tn).transpose(0, 1, 3, 2, 4)
     active = tiles.reshape(B, R, Cn, -1).any(axis=-1)      # (B, R, Cn)
-    K = max(int(active.sum(axis=-1).max()), 1)
-    vals = np.zeros((B, R, K, tm, tn), M.dtype)
-    cols = np.zeros((B, R, K), np.int32)
-    for b in range(B):
-        for r in range(R):
-            idx = np.flatnonzero(active[b, r])
-            vals[b, r, :len(idx)] = tiles[b, r, idx]
-            cols[b, r, :len(idx)] = idx
+    K = max(int(active.sum(axis=-1).max()), 1, min_k)
+    K = min(K, Cn)
+    # Stable argsort of ~active lists the active column tiles first, in
+    # ascending column order — the vectorized form of the per-(b, r)
+    # np.flatnonzero gather (the python double loop was the dominant cost
+    # of the round-4 sparse route's per-epoch reconversion).
+    order = np.argsort(~active, axis=-1, kind="stable")[:, :, :K]  # (B,R,K)
+    taken = np.take_along_axis(active, order, axis=-1)
+    vals = np.take_along_axis(tiles, order[..., None, None], axis=2)
+    vals = np.where(taken[..., None, None], vals, 0)
+    cols = np.where(taken, order, 0).astype(np.int32)
+    return vals, cols
+
+
+def bsr_pad_k(vals: np.ndarray, cols: np.ndarray,
+              K: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad host BSR arrays to K stored tiles per row-tile (zero tiles at
+    column 0 — numerically inert), so batches converted with different
+    per-batch K share one compiled program shape."""
+    k0 = vals.shape[2]
+    if k0 >= K:
+        return vals, cols
+    pad = [(0, 0)] * vals.ndim
+    pad[2] = (0, K - k0)
+    return (np.pad(vals, pad), np.pad(cols, [(0, 0), (0, 0), (0, K - k0)]))
+
+
+def bsr_from_dense(M: np.ndarray, tile: Tuple[int, int] = (128, 128),
+                   dtype=jnp.float32, min_k: int = 0) -> BSRMatrix:
+    """Dense (B, m, n) batch -> device-resident :class:`BSRMatrix`.
+    ``min_k`` floors the padded tile count K so batches of one family hit
+    one compiled matvec program (train/preload.py sparse cache)."""
+    M = np.asarray(M)
+    vals, cols = bsr_tiles_host(M, tile, min_k=min_k)
     return BSRMatrix(vals=jnp.asarray(vals, dtype), cols=jnp.asarray(cols),
-                     shape=(m, n))
+                     shape=(M.shape[-2], M.shape[-1]))
 
 
 def _bsr_matvec_kernel(cols_ref, vals_ref, v_ref, out_ref, acc,

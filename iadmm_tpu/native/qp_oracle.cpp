@@ -217,10 +217,16 @@ int solve_one(const double* P, const double* q, const double* A,
       // the window length cancels.  Without these, structurally unbounded
       // instances (e.g. the SVM family's lambda<0 draws,
       // generate_data.py:189) burn max_iter instead of exiting early.
+      // Skip the certificate checks on the first window: px/py are still
+      // the zero init there, so the "delta" would be the raw iterate
+      // rather than a successive-iterate difference (OSQP certifies on
+      // per-iteration deltas) and a feasible instance whose early iterate
+      // happens to satisfy the conditions could be mislabeled (ADVICE r4).
+      const bool has_prev = it > CHECK_EVERY;
       for (int i = 0; i < n; ++i) w.dx[i] = w.x[i] - w.px[i];
       for (int k = 0; k < m; ++k) w.dy[k] = w.y[k] - w.py[k];
-      const double ndx = inf_norm(w.dx.data(), n);
-      const double ndy = inf_norm(w.dy.data(), m);
+      const double ndx = has_prev ? inf_norm(w.dx.data(), n) : 0.0;
+      const double ndy = has_prev ? inf_norm(w.dy.data(), m) : 0.0;
       if (ndy > 0.0) {  // primal infeasibility: A^T dy ~ 0, support < 0
         const double t = eps_abs * ndy;
         std::fill(w.ATy.begin(), w.ATy.end(), 0.0);

@@ -313,8 +313,10 @@ FAMILIES = ("QP", "QP_RHS", "Random_QP", "Sparse_QP", "Equality_QP", "SVM",
 
 def generate(prob_type: str, *, num_var: int, data_size: int,
              num_ineq: int = 0, num_eq: int = 0,
-             seed: int = 0) -> RawDataset:
-    """Dispatch on problem family name (reference: generate_data.py:31)."""
+             seed: int = 0, bandwidth: int = 16) -> RawDataset:
+    """Dispatch on problem family name (reference: generate_data.py:31).
+    ``bandwidth`` applies to the Sparse_QP family only (band half-width of
+    the Q/A0 bands; density scales as ~4*bandwidth/num_var)."""
     rng = np.random.default_rng(seed)
     if prob_type == "QP":
         return generate_qp(num_var, num_ineq, num_eq, data_size, rng)
@@ -323,7 +325,8 @@ def generate(prob_type: str, *, num_var: int, data_size: int,
     if prob_type == "Random_QP":
         return generate_random_qp(num_var, num_ineq, data_size, rng)
     if prob_type == "Sparse_QP":
-        return generate_sparse_qp(num_var, num_ineq, data_size, rng)
+        return generate_sparse_qp(num_var, num_ineq, data_size, rng,
+                                  bandwidth=bandwidth)
     if prob_type == "Equality_QP":
         return generate_equality_qp(num_var, num_eq, data_size, rng)
     if prob_type == "SVM":

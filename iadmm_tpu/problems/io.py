@@ -118,6 +118,10 @@ def dataset_path(root: str, prob_type: str, num_var: int,
         name = f"SVM_{num_var + num_ineq}_{num_ineq}"
     elif prob_type == "Portfolio":
         name = f"Portfolio_{num_var}_{num_ineq}"
+    elif prob_type == "Sparse_QP":
+        # size-keyed (the flagship n=1000 demo and the n>=4096 BSR-scale
+        # runs are distinct datasets)
+        name = f"Sparse_QP_{num_var}_{num_ineq}"
     else:
         name = prob_type
     return os.path.join(root, name + ".npz")

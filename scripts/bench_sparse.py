@@ -105,7 +105,10 @@ def main():
         log(f"width={w} density={density:.3f}")
         row = {"bandwidth": w, "density": density}
 
-        Md = jnp.asarray(M)
+        # bf16 STORAGE (the training preload profile): the fair dense
+        # baseline at HBM-resident sizes — an f32-stored operand would pay
+        # a 2x read penalty the real training path doesn't.
+        Md = jnp.asarray(M).astype(jnp.bfloat16)
         row["dense_bf16_s"] = time_iterated(
             lambda x: renorm(bmv(Md, x, mode="bf16")), v0,
             args.iters, args.reps, "dense bf16")

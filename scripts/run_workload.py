@@ -52,6 +52,14 @@ WORKLOADS = {
     "Sparse_QP": dict(prob_type="Sparse_QP", num_var=1000, num_ineq=500,
                       outer_T=100, truncated_length=100, hidden_dim=400,
                       eq_tol=0.5, sparse=True, num_devices=1),
+    # Sparse_QP_Large: the scale the BSR tile-sparse route was built for
+    # (VERDICT r4 #3) — n=4096 banded, Q density ~1.6%: the dense Q row
+    # stream is 33 MB/instance/matvec of HBM traffic, the BSR tiles ~2%
+    # of that.  Run with --data_size 64.
+    "Sparse_QP_Large": dict(prob_type="Sparse_QP", num_var=4096,
+                            num_ineq=1024, outer_T=50, truncated_length=50,
+                            hidden_dim=128, eq_tol=0.5, sparse=True,
+                            sparse_format="bsr", num_devices=1),
     # Portfolio: the build's own dense-PSD-Q family (BASELINE.json
     # configs[4]; factor-model covariance, budget equality + box rows).
     # num_ineq carries the factor count k (generators.generate dispatch).
@@ -72,7 +80,8 @@ WORKLOADS = {
 STATUS_JSON = "results/canonical/STATUS.json"
 STATUS_MD = "results/canonical/STATUS.md"
 _STATUS_COLS = ("phase", "attempted_at", "epochs", "gate_met",
-                "first_gate_epoch", "eval_done", "artifact", "error")
+                "first_gate_epoch", "eval_done", "clip", "route",
+                "artifact", "error")
 
 
 def update_status(family: str, **fields):
@@ -162,8 +171,14 @@ def main():
     feas_rest = args.feas_rest or w.pop("feas_rest", False)
     print("backend:", jax.default_backend(), "| workload:", args.family,
           "| feas_rest:", feas_rest, flush=True)
+    # clip + dispatch route recorded per attempt: parity-sensitive runs
+    # (clip=0 = exact reference-optimizer update) are self-describing in the
+    # registry instead of only inside the checkpointed config (ADVICE r4).
     update_status(args.family, phase="starting", error="",
-                  attempted_at=time.strftime("%Y-%m-%dT%H:%M:%S"))
+                  attempted_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
+                  clip=args.clip,
+                  route=("per-batch" if args.no_epoch_scan
+                         else w.get("preload", "auto")))
 
     # Dataset: cached stacked .npz under ./datasets, generated + oracle-
     # labeled once (reference: generate_data.py, eps=1e-4 protocol).

@@ -7,7 +7,7 @@ import numpy as np
 import iadmm_tpu as it
 from iadmm_tpu.problems import generate
 from iadmm_tpu.evaluation.driver import run_test, export_traces
-from iadmm_tpu.evaluation.theory import COND_KEYS
+from iadmm_tpu.evaluation.theory import COND_KEYS, PER_INSTANCE_KEYS
 
 
 def test_theory_traces_and_mat_export(tmp_path):
@@ -25,8 +25,11 @@ def test_theory_traces_and_mat_export(tmp_path):
     assert rep.theory is not None
     for k in COND_KEYS:
         v = rep.theory[k]
-        assert v.shape == (6,), k
-        assert np.isnan(v[0]), f"{k}[0] should be NaN (t=0 undefined)"
+        # x_cond_2_* stay per-instance — (T, test_size) — matching the
+        # reference's per-instance appends (main.py:913-915); the rest are
+        # batch-mean scalars per t
+        assert v.shape == ((6, 4) if k in PER_INSTANCE_KEYS else (6,)), k
+        assert np.isnan(v[0]).all(), f"{k}[0] should be NaN (t=0 undefined)"
         assert np.isfinite(v[1:]).all(), k
     # conditions relate augmented-Lagrangian descent: left/right finite and
     # the z_cond_1 pair ordered the way a converging run tends to satisfy
@@ -35,5 +38,6 @@ def test_theory_traces_and_mat_export(tmp_path):
     export_traces(rep, p)
     import scipy.io
     m = scipy.io.loadmat(p)
-    assert m["x_cond_2_left"].size == 6
-    assert m["x_cond_1_right"].size == 0   # never produced, schema-only
+    assert m["x_cond_2_left"].shape == (6, 4)   # per-instance trace
+    assert m["x_cond_1_left"].size == 6         # batch-mean trace
+    assert m["x_cond_1_right"].size == 0        # never produced, schema-only
