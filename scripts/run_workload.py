@@ -201,7 +201,7 @@ def main():
                       data_size=args.data_size)
     print(f"dataset: {ds.size} instances @ {path}", flush=True)
 
-    cfg = it.ExperimentConfig(
+    base = dict(
         data_size=min(args.data_size, ds.size),
         batch_size=2, lr=5e-5, sigma=6e-6, seed=17,
         val_frac=0.01, test_frac=0.05, patience=100,
@@ -211,10 +211,18 @@ def main():
         matvec_mode="bf16", resume=args.resume,
         clip_grad_norm=args.clip,
         feas_rest=feas_rest, feas_rest_num=20,
-        **({"train_backend": args.train_backend}
-           if args.train_backend else {}),
-        save_dir="results/canonical", ineq_tol=w["eq_tol"],
-        **{k: v for k, v in w.items() if k != "ineq_tol"})
+        save_dir="results/canonical", ineq_tol=w["eq_tol"])
+    if args.train_backend:
+        base["train_backend"] = args.train_backend
+    base.update({k: v for k, v in w.items() if k != "ineq_tol"})
+    # Small datasets (e.g. Sparse_QP_Large --data_size 64): the reference
+    # fractions would make the val split EMPTY — keep at least 2/4.
+    n_inst = base["data_size"]
+    if int(n_inst * base["val_frac"]) < 2:
+        base["val_frac"] = 2.0 / n_inst
+    if int(n_inst * base["test_frac"]) < 4:
+        base["test_frac"] = 4.0 / n_inst
+    cfg = it.ExperimentConfig(**base)
 
     out_path = args.out or f"artifacts/{args.family}_full.json"
     summary = dict(family=args.family, config=cfg.to_dict(),
