@@ -51,3 +51,15 @@ def test_mm_train_eval_smoke(mm_root, tmp_path):
     assert np.isfinite(rep.obj[-1])
     assert rep.oracle_gap is not None
     assert np.isfinite(rep.oracle_gap["obj_gap_mean"])
+
+
+def test_committed_mm_family_loads():
+    """The vendored gz files committed under datasets/MM_HS35 load through
+    the MM_* path (guards the committed artifact, not just the writer)."""
+    import os
+    root = os.path.join(os.path.dirname(__file__), "..", "datasets")
+    if not os.path.isdir(os.path.join(root, "MM_HS35")):
+        pytest.skip("vendored MM_HS35 not present")
+    ds = io.load_dataset(root, "MM_HS35", 3, data_size=16)
+    assert ds.size == 16
+    np.testing.assert_allclose(ds.x_opt[0], mm_vendor.HS35_X_OPT, atol=2e-3)
