@@ -66,6 +66,58 @@ def time_iterated(fn, v0, iters, reps, label):
     return best
 
 
+def bench_full_step(n, m, batch, hidden, bandwidth, iters, reps, on_tpu):
+    """End-to-end learned ADMM step: dense bf16 profile vs the BSR sparse
+    route on a banded instance (the quantity the training loop actually
+    pays per iteration)."""
+    from iadmm_tpu.problems.generators import generate
+    from iadmm_tpu.problems.io import to_qp_batch
+    from iadmm_tpu.solvers.step import make_lstm_step
+    from iadmm_tpu.solvers.cells import lstm_init
+    from iadmm_tpu.types import init_state
+    from iadmm_tpu.kernels import sparse as sp
+
+    ds = generate("Sparse_QP", num_var=n, num_ineq=m, data_size=batch,
+                  seed=7, bandwidth=bandwidth)
+    data = to_qp_batch(ds, with_metric_views=False)
+    data_bf = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.ndim == 3 else a, data)
+    sdata = sp.from_dense(data, fmt="bsr", dtype=jnp.bfloat16,
+                          interpret=not on_tpu)
+    params = lstm_init(jax.random.PRNGKey(0), 2, hidden, iters)
+    st0 = init_state(batch, n, m, hidden)
+    sigma = jnp.float32(6e-6)
+    dense_step = make_lstm_step(use_pallas=on_tpu, gate_dtype="bfloat16",
+                                matvec_mode="bf16")
+
+    def mk(step, d):
+        def roll(st):
+            def body(st, t):
+                return step(params, t, st, d, sigma), None
+            st, _ = jax.lax.scan(body, st, jnp.arange(iters))
+            return st
+        return jax.jit(roll)
+
+    out = {}
+    for label, fn in (("dense_step", mk(dense_step, data_bf)),
+                      ("bsr_step", mk(
+                          lambda p, t, st, d, s: sp.sparse_lstm_step(
+                              p, t, st, d, s), sdata))):
+        t0 = time.perf_counter()
+        float(np.asarray(fn(st0).x).sum())
+        log(f"  {label}: compile+first {time.perf_counter() - t0:.1f}s")
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(fn(st0).x).sum())
+            best = min(best, (time.perf_counter() - t0) / iters)
+        log(f"  {label}: {best * 1e3:.2f} ms/step")
+        out[label + "_s"] = best
+    out["step_speedup"] = out["dense_step_s"] / out["bsr_step_s"]
+    log(f"  -> full-step BSR speedup {out['step_speedup']:.2f}x")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1000)
@@ -74,6 +126,10 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--widths", type=int, nargs="*",
                     default=[8, 16, 64, 128, 256])
+    ap.add_argument("--step_bench", action="store_true",
+                    help="also time the full learned ADMM step (dense bf16 "
+                         "profile vs BSR route) at --n with bandwidth 16")
+    ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the sitecustomize pins "
                          "axon before env vars are read)")
@@ -154,10 +210,21 @@ def main():
         rows.append(row)
         # Incremental write: the axon worker can crash mid-sweep (it did at
         # density 0.45 in round 3) — keep the densities already measured.
+        # Non-default n gets its own artifact (the n=1000 round-4 sweep
+        # stays intact).
         out = {"n": args.n, "batch": args.batch, "iters": args.iters,
                "backend": jax.default_backend(), "rows": rows}
+        out_path = ("artifacts/sparse_bench.json" if args.n == 1000
+                    else f"artifacts/sparse_bench_n{args.n}.json")
         os.makedirs("artifacts", exist_ok=True)
-        with open("artifacts/sparse_bench.json", "w") as f:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+
+    if args.step_bench:
+        out["full_step"] = bench_full_step(
+            args.n, max(args.n // 4, 128), args.batch, args.hidden,
+            16, args.iters, args.reps, on_tpu)
+        with open(out_path, "w") as f:
             json.dump(out, f, indent=1)
 
     print(json.dumps(out))

@@ -80,8 +80,8 @@ if [ -f datasets/Sparse_QP_4096_1024.npz ]; then
 fi
 
 # 3. large-n sparse matvec bench (HBM-resident)
-step bench_sparse_large 3000 python scripts/bench_sparse.py \
-  --n 4096 --batch 4 --iters 30 --widths 16 64 256
+step bench_sparse_large 3600 python scripts/bench_sparse.py \
+  --n 4096 --batch 4 --iters 30 --widths 16 64 256 --step_bench --hidden 128
 
 # 4. int8 gates microbench
 step bench_int8 1800 python scripts/bench_int8_gates.py
